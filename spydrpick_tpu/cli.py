@@ -1,0 +1,144 @@
+"""Command-line interface.
+
+Mirrors the reference binary's merged flag surface (three option groups
+combined into one parser with a positional alignment file,
+src/SpydrPick.cpp:64-87; flag inventory SURVEY §2a rows 2-3 + §2b),
+plus ``--seed`` (determinism fix) and engine-tuning flags.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from spydrpick_tpu.engine.aracne import DEFAULT_EDGE_THRESHOLD
+from spydrpick_tpu.pipeline import PipelineOptions, run_pipeline
+from spydrpick_tpu.version import TITLE, version_string
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="spydrpick-tpu",
+        description=TITLE,
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("alignmentfile", nargs="?", help="input FASTA alignment")
+    p.add_argument("--version", action="store_true", help="print version information")
+    p.add_argument("-v", "--verbose", action="store_true", help="be verbose")
+
+    g = p.add_argument_group("MI options")
+    g.add_argument("--mi-threshold", type=float, default=-1.0,
+                   help="MI save threshold (0=no threshold; -1=determine automatically)")
+    g.add_argument("--mi-values", type=int, default=0,
+                   help="approximate number of MI values to save (0=min(1e7, 100*n_loci))")
+    g.add_argument("--mi-pseudocount", type=float, default=0.5, help="MI pseudocount value")
+    g.add_argument("--mi-threshold-iterations", type=int, default=10,
+                   help="iterations for estimating the save threshold")
+    g.add_argument("--mi-threshold-pairs", type=int, default=0,
+                   help="sampled pairs per iteration (0=auto)")
+    g.add_argument("--ld-threshold", type=int, default=0,
+                   help="linkage-disequilibrium distance threshold")
+    g.add_argument("--no-aracne", action="store_true", help="skip ARACNE, only calculate MI")
+
+    g = p.add_argument_group("alignment options (apegrunt group in the reference)")
+    g.add_argument("--maf-threshold", type=float, default=0.01,
+                   help="minor-allele frequency filter threshold")
+    g.add_argument("--gap-threshold", type=float, default=0.15,
+                   help="gap frequency filter threshold")
+    g.add_argument("--no-filter-alignment", action="store_true",
+                   help="do not apply position filters")
+    g.add_argument("--include-list", help="file of position indices to include")
+    g.add_argument("--exclude-list", help="file of position indices to exclude")
+    g.add_argument("--sample-list", help="file of sample indices to include")
+    g.add_argument("--mappings-list", help="file of original position indices per column")
+    g.add_argument("--genome-size", type=int, help="genome size for circular distance")
+    g.add_argument("--input-indexing-base", type=int, default=1)
+    g.add_argument("--output-indexing-base", type=int, default=1)
+    g.add_argument("--linear-genome", action="store_true",
+                   help="treat the genome as linear (default: circular)")
+    g.add_argument("--sample-reweighting-threshold", type=float, default=0.9,
+                   help="sequence identity threshold for sample clustering")
+    g.add_argument("--no-sample-reweighting", action="store_true",
+                   help="all samples get weight 1")
+    g.add_argument("--sample-weights", help="file of user-supplied sample weights")
+    g.add_argument("--output-state-frequencies", action="store_true")
+    g.add_argument("--output-sample-weights", action="store_true")
+    g.add_argument("--output-sample-distance-matrix", action="store_true")
+    g.add_argument("--output-alignment", action="store_true")
+    g.add_argument("--output-filtered-alignment", action="store_true")
+
+    g = p.add_argument_group("ARACNE options")
+    g.add_argument("--aracne-edge-threshold", type=float, default=DEFAULT_EDGE_THRESHOLD,
+                   help="equality tolerance for the DPI rule")
+    g.add_argument("--aracne-block-size", type=int, default=16384,
+                   help="accepted for compatibility (closed-form kernel needs no blocking)")
+    g.add_argument("--aracne-node-grouping-size", type=int, default=16,
+                   help="accepted for compatibility")
+
+    g = p.add_argument_group("engine options (new)")
+    g.add_argument("--seed", type=int, default=42,
+                   help="PRNG seed for threshold-pair sampling (reference used wall clock)")
+    g.add_argument("--tile", type=int, default=512, help="MI tile width in columns")
+    g.add_argument("--edge-capacity", type=int, default=1 << 19,
+                   help="per-block-row on-device edge buffer capacity")
+    g.add_argument("--output-dir", default=".", help="directory for output files")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.version:
+        print(version_string())
+        return 0
+    if not args.alignmentfile:
+        print("spydrpick-tpu ERROR: No alignment file specified!", file=sys.stderr)
+        return 1
+
+    print(version_string())
+    opts = PipelineOptions(
+        alignmentfile=args.alignmentfile,
+        mi_threshold=args.mi_threshold,
+        mi_values=args.mi_values,
+        mi_pseudocount=args.mi_pseudocount,
+        mi_threshold_iterations=args.mi_threshold_iterations,
+        mi_threshold_pairs=args.mi_threshold_pairs,
+        ld_threshold=args.ld_threshold,
+        no_aracne=args.no_aracne,
+        verbose=args.verbose,
+        maf_threshold=args.maf_threshold,
+        gap_threshold=args.gap_threshold,
+        no_filter_alignment=args.no_filter_alignment,
+        include_list=args.include_list,
+        exclude_list=args.exclude_list,
+        sample_list=args.sample_list,
+        mappings_list=args.mappings_list,
+        genome_size=args.genome_size,
+        input_indexing_base=args.input_indexing_base,
+        output_indexing_base=args.output_indexing_base,
+        linear_genome=args.linear_genome,
+        sample_reweighting_threshold=args.sample_reweighting_threshold,
+        no_sample_reweighting=args.no_sample_reweighting,
+        sample_weights=args.sample_weights,
+        output_state_frequencies=args.output_state_frequencies,
+        output_sample_weights=args.output_sample_weights,
+        output_sample_distance_matrix=args.output_sample_distance_matrix,
+        output_alignment=args.output_alignment,
+        output_filtered_alignment=args.output_filtered_alignment,
+        aracne_edge_threshold=args.aracne_edge_threshold,
+        aracne_block_size=args.aracne_block_size,
+        aracne_node_grouping_size=args.aracne_node_grouping_size,
+        seed=args.seed,
+        tile=args.tile,
+        edge_capacity=args.edge_capacity,
+        output_dir=args.output_dir,
+    )
+    try:
+        run_pipeline(opts)
+    except (FileNotFoundError, ValueError) as e:
+        print(f"spydrpick-tpu ERROR: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,393 @@
+"""All-pairs MI sweep engine.
+
+TPU-native redesign of the reference hot path (``MI_solver``/
+``mutual_information_block_kernel``, include/mi.hpp:292-532, driven by
+``get_MI_network``'s tbb::parallel_reduce at include/SpydrPick.hpp:143):
+
+  * the upper-triangular (iblock, jblock) tile loop (mi.hpp:390-398)
+    becomes a host loop over *block-rows* of TILE columns, each row a
+    single jitted program: one weighted one-hot matmul per j-chunk
+    (MXU) + fused entropy math (VPU), accumulated into a (TILE, L)
+    MI row buffer with ``lax.fori_loop``;
+  * the lock-protected shared edge ``Graph`` (mi.hpp:411-463) becomes a
+    static-shape on-device compaction: mask -> cumsum -> scatter into a
+    fixed-capacity edge buffer with an overflow count (dynamic shapes
+    would defeat XLA, and a device round-trip of the full MI matrix
+    would be PCIe bound);
+  * the per-position running max tracker (``maxvaltracker``,
+    mi.hpp:244-290) becomes two masked max-reductions per row;
+  * the gaps-excluded re-evaluation for gap-afflicted edges
+    (mi.hpp:466-490) is fused into the same pass: both MI variants come
+    from one crosstable, and the stored "wo-gaps" weight is
+    ``gap_i | gap_j ? mi_wo_gaps : mi`` — exactly what the reference's
+    store-then-lookup-with-default dance produces
+    (mi.hpp:433,474-487 + SpydrPick.hpp:106-107).
+
+The sweep core is a *pure function* of a ``DeviceData`` pytree and a
+hashable ``SweepStatics`` config so the same program runs single-chip
+(jit) and multi-chip (shard_map over a row-sharded mesh, see
+spydrpick_tpu/parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spydrpick_tpu.core.alignment import Alignment
+from spydrpick_tpu.core.alphabet import N_STATES
+from spydrpick_tpu.ops.mi import (
+    crosstab_tile_flat,
+    mi_from_crosstab_flat,
+    mi_from_crosstabs,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    tile: int = 512                 # columns per tile (TI == TJ)
+    edge_capacity: int = 1 << 19    # per-block-row edge buffer capacity
+    pseudocount: float = 0.5        # --mi-pseudocount
+    ld_threshold: int = 0           # --ld-threshold (colmax gating only)
+    linear_genome: bool = False     # --linear-genome
+    compute_dtype: str = "float32"  # or "float64" (CPU testing)
+    storage_dtype: str = "bfloat16" # one-hot HBM layout
+    verbose: bool = False
+
+
+class DeviceData(NamedTuple):
+    """Device-resident alignment tensors (a pytree for jit/shard_map)."""
+
+    onehot: jnp.ndarray        # (S, Lp*5) one-hot codes (padded cols are zero)
+    weights: jnp.ndarray       # (S,)
+    presence: jnp.ndarray      # (Lp, 5) 0/1 state presence
+    presence_wog: jnp.ndarray  # (Lp, 5) presence with gap bit cleared
+    gap: jnp.ndarray           # (Lp,) bool gap presence
+    orig_pos: jnp.ndarray      # (Lp,) int32 original genome positions
+
+
+@dataclasses.dataclass(frozen=True)
+class SweepStatics:
+    """Hashable static sweep parameters (jit static argument)."""
+
+    L: int
+    Lp: int
+    S: int
+    tile: int
+    n_chunks: int
+    edge_capacity: int
+    pseudocount: float
+    ld_threshold: int
+    linear_genome: bool
+    genome_size: int
+    compute_dtype: str
+
+    @property
+    def cdtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+
+@dataclasses.dataclass
+class EdgeSet:
+    """Thresholded edges + per-position max-MI, the sweep's result.
+
+    Mirrors the reference ``MI_network`` payload (SpydrPick.hpp:59-67):
+    ``network`` -> (ipos, jpos, mi), ``network_wo_gaps`` -> mi_wog
+    (already defaulted to mi where no gap applies), colmax feeds the
+    outlier quartiles.
+    """
+
+    ipos: np.ndarray     # (E,) int64 filtered column index, ipos < jpos
+    jpos: np.ndarray     # (E,) int64
+    mi: np.ndarray       # (E,) float
+    mi_wog: np.ndarray   # (E,) float, == mi where neither column has gaps
+    colmax: np.ndarray   # (L,) float per-position max MI past LD distance
+
+    @property
+    def n_edges(self) -> int:
+        return len(self.mi)
+
+    def sort_desc(self) -> "EdgeSet":
+        """Descending MI, ties broken by (ipos, jpos) for determinism
+        (reference Graph::sort at src/SpydrPick.cpp:398)."""
+        order = np.lexsort((self.jpos, self.ipos, -self.mi))
+        return EdgeSet(
+            self.ipos[order], self.jpos[order], self.mi[order],
+            self.mi_wog[order], self.colmax,
+        )
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------- #
+# pure sweep core (shared by jit single-chip and shard_map multi-chip)
+# ---------------------------------------------------------------------- #
+
+def _buf_dtype(st: SweepStatics):
+    return jnp.float32 if st.cdtype == jnp.float32 else st.cdtype
+
+
+def tile_mi_pair(data: DeviceData, st: SweepStatics, xi_w, xj, i0, j0):
+    """(mi, mi_wog_effective) for the (i0, j0) tile of column pairs.
+
+    Uses the lane-friendly flat (TI*5, TJ*5) crosstable layout — see
+    ops/mi.py:crosstab_tile_flat for why (4% lane utilisation in the
+    (TI,TJ,5,5) layout dominated the sweep on hardware)."""
+    T = st.tile
+    C = crosstab_tile_flat(xi_w, xj, dtype=_buf_dtype(st))
+    ipf = jax.lax.dynamic_slice_in_dim(data.presence, i0, T, 0).reshape(-1)
+    jpf = jax.lax.dynamic_slice_in_dim(data.presence, j0, T, 0).reshape(-1)
+    ipwf = jax.lax.dynamic_slice_in_dim(data.presence_wog, i0, T, 0).reshape(-1)
+    jpwf = jax.lax.dynamic_slice_in_dim(data.presence_wog, j0, T, 0).reshape(-1)
+    mi = mi_from_crosstab_flat(C, ipf, jpf, st.pseudocount)
+    mi_wog = mi_from_crosstab_flat(C, ipwf, jpwf, st.pseudocount)
+    gi = jax.lax.dynamic_slice_in_dim(data.gap, i0, T, 0)
+    gj = jax.lax.dynamic_slice_in_dim(data.gap, j0, T, 0)
+    either = gi[:, None] | gj[None, :]
+    # effective wo-gaps weight: reference stores a wo-gaps edge only for
+    # gap-afflicted pairs (mi.hpp:433); the outlier formatter falls back
+    # to mi when absent (SpydrPick.hpp:106-107).
+    return mi, jnp.where(either, mi_wog, mi)
+
+
+def row_buffers(data: DeviceData, st: SweepStatics, i0):
+    """Fill (tile, Lp) MI row buffers for block-row i0 via fori_loop."""
+    T, S = st.tile, st.S
+    bd = _buf_dtype(st)
+
+    xi = jax.lax.dynamic_slice(data.onehot, (0, i0 * N_STATES), (S, T * N_STATES))
+    xi_w = (xi.astype(st.cdtype) * data.weights[:, None].astype(st.cdtype)).astype(bd)
+
+    mi_buf = jnp.full((T, st.Lp), -jnp.inf, dtype=bd)
+    wog_buf = jnp.full((T, st.Lp), -jnp.inf, dtype=bd)
+
+    def body(c, bufs):
+        mi_buf, wog_buf = bufs
+        j0 = c * T
+        xj = jax.lax.dynamic_slice(data.onehot, (0, j0 * N_STATES), (S, T * N_STATES))
+        mi, wog = tile_mi_pair(data, st, xi_w, xj, i0, j0)
+        mi_buf = jax.lax.dynamic_update_slice(mi_buf, mi, (0, j0))
+        wog_buf = jax.lax.dynamic_update_slice(wog_buf, wog, (0, j0))
+        return mi_buf, wog_buf
+
+    return jax.lax.fori_loop(i0 // T, st.n_chunks, body, (mi_buf, wog_buf))
+
+
+def row_masks(data: DeviceData, st: SweepStatics, i0):
+    """(store_base, colmax_mask) for block-row i0.
+
+    store_base: valid upper-triangle pairs (storage is *not* LD-gated,
+    mi.hpp:430-434); colmax_mask additionally requires genome distance
+    > ld_threshold (mi.hpp:423-427).
+    """
+    T = st.tile
+    i_global = i0 + jnp.arange(T, dtype=jnp.int32)
+    j_global = jnp.arange(st.Lp, dtype=jnp.int32)
+    valid = (i_global[:, None] < st.L) & (j_global[None, :] < st.L)
+    upper = j_global[None, :] > i_global[:, None]
+    ipos_orig = data.orig_pos[jnp.clip(i_global, 0, st.Lp - 1)]
+    d = jnp.abs(ipos_orig[:, None] - data.orig_pos[None, :])
+    if not st.linear_genome:
+        d = jnp.minimum(d, st.genome_size - d)
+    return valid & upper, valid & upper & (d > st.ld_threshold)
+
+
+def row_sweep_core(data: DeviceData, st: SweepStatics, i0, threshold):
+    """One block-row: colmax parts + compacted thresholded edges."""
+    K = st.edge_capacity
+    T = st.tile
+    mi_buf, wog_buf = row_buffers(data, st, i0)
+    store_base, colmax_mask = row_masks(data, st, i0)
+    neg = jnp.asarray(-jnp.inf, mi_buf.dtype)
+
+    masked = jnp.where(colmax_mask, mi_buf, neg)
+    colmax_i = jnp.max(masked, axis=1)   # (T,) maxima for rows i0..i0+T
+    colmax_j = jnp.max(masked, axis=0)   # (Lp,) contributions to j positions
+
+    store = store_base & (mi_buf > threshold)
+    flat_mask = store.reshape(-1)
+    pos = jnp.cumsum(flat_mask.astype(jnp.int32))
+    count = pos[-1]
+    dest = jnp.where(flat_mask, pos - 1, K)  # index K == dropped
+    vals = jnp.zeros(K, mi_buf.dtype).at[dest].set(mi_buf.reshape(-1), mode="drop")
+    wogs = jnp.zeros(K, mi_buf.dtype).at[dest].set(wog_buf.reshape(-1), mode="drop")
+    idxs = (
+        jnp.zeros(K, jnp.int32)
+        .at[dest]
+        .set(jnp.arange(T * st.Lp, dtype=jnp.int32), mode="drop")
+    )
+    return colmax_i, colmax_j, vals, wogs, idxs, count
+
+
+def row_full_core(data: DeviceData, st: SweepStatics, i0):
+    """Full MI row (host-extraction fallback for capacity overflow)."""
+    mi_buf, wog_buf = row_buffers(data, st, i0)
+    store_base, colmax_mask = row_masks(data, st, i0)
+    return mi_buf, wog_buf, store_base, colmax_mask
+
+
+def pairs_mi_core(data: DeviceData, st: SweepStatics, ipos, jpos):
+    """Batched per-pair MI (tournament path; reference
+    ``MI_solver::single`` + ``single_edge_MI_solver``, mi.hpp:183-224,
+    SpydrPick.hpp:209-255)."""
+    oh3 = data.onehot.reshape(st.S, st.Lp, N_STATES)
+    xi = jnp.take(oh3, ipos, axis=1).astype(st.cdtype)  # (S, P, 5)
+    xj = jnp.take(oh3, jpos, axis=1).astype(st.cdtype)
+    xi_w = xi * data.weights[:, None, None].astype(st.cdtype)
+    C = jnp.einsum("spa,spb->pab", xi_w, xj,
+                   preferred_element_type=_buf_dtype(st),
+                   precision=jax.lax.Precision.HIGHEST)
+    ip = data.presence[ipos]
+    jp = data.presence[jpos]
+    return mi_from_crosstabs(C, ip, jp, st.pseudocount)
+
+
+# ---------------------------------------------------------------------- #
+# engine (host driver)
+# ---------------------------------------------------------------------- #
+
+def build_device_data(alignment: Alignment, config: EngineConfig) -> tuple[DeviceData, SweepStatics]:
+    """Materialise the DeviceData pytree + statics for an alignment."""
+    L, S = alignment.n_loci, alignment.n_samples
+    tile = config.tile
+    Lp = max(_ceil_to(L, tile), tile)
+    cdtype = jnp.dtype(config.compute_dtype)
+    sdtype = jnp.dtype(config.storage_dtype)
+    if cdtype == jnp.float64:
+        sdtype = jnp.float64  # keep everything f64 in x64 test mode
+
+    codes = np.full((S, Lp), 255, dtype=np.uint8)
+    codes[:, :L] = alignment.codes
+    codes_dev = jnp.asarray(codes)
+    states = jnp.arange(N_STATES, dtype=jnp.uint8)
+    onehot = (
+        (codes_dev[:, :, None] == states[None, None, :])
+        .astype(sdtype)
+        .reshape(S, Lp * N_STATES)
+    )
+
+    def _pad_bool(x):
+        out = np.zeros((Lp, N_STATES), dtype=bool)
+        out[:L] = x
+        return out
+
+    gap = np.zeros(Lp, dtype=bool)
+    gap[:L] = alignment.gap_presence
+    orig = np.full(Lp, np.iinfo(np.int32).max // 4, dtype=np.int32)
+    orig[:L] = alignment.translation.astype(np.int32)
+    w = alignment.weights if alignment.weights is not None else np.ones(S)
+
+    data = DeviceData(
+        onehot=onehot,
+        weights=jnp.asarray(w, dtype=cdtype),
+        presence=jnp.asarray(_pad_bool(alignment.state_presence), dtype=cdtype),
+        presence_wog=jnp.asarray(
+            _pad_bool(alignment.state_presence_wo_gaps), dtype=cdtype
+        ),
+        gap=jnp.asarray(gap),
+        orig_pos=jnp.asarray(orig),
+    )
+    statics = SweepStatics(
+        L=L, Lp=Lp, S=S, tile=tile, n_chunks=Lp // tile,
+        edge_capacity=config.edge_capacity,
+        pseudocount=config.pseudocount,
+        ld_threshold=config.ld_threshold,
+        linear_genome=config.linear_genome,
+        genome_size=int(alignment.n_original_positions),
+        compute_dtype=config.compute_dtype,
+    )
+    return data, statics
+
+
+class MIEngine:
+    """Holds device-resident alignment tensors and jitted sweep programs."""
+
+    def __init__(self, alignment: Alignment, config: EngineConfig = EngineConfig()):
+        self.alignment = alignment
+        self.config = config
+        self.data, self.statics = build_device_data(alignment, config)
+        self.L = self.statics.L
+        self.S = self.statics.S
+        self.Lp = self.statics.Lp
+        self.tile = self.statics.tile
+
+        st = self.statics
+        self._row_sweep = jax.jit(partial(row_sweep_core, st=st))
+        self._row_full = jax.jit(partial(row_full_core, st=st))
+        self._pairs_mi = jax.jit(partial(pairs_mi_core, st=st))
+
+    # ------------------------------------------------------------------ #
+    def pair_mi(self, ipos: np.ndarray, jpos: np.ndarray, chunk: int = 8192) -> np.ndarray:
+        """MI for explicit position pairs, chunked over the pair axis."""
+        P = len(ipos)
+        out = np.empty(P, dtype=np.float64)
+        for c0 in range(0, P, chunk):
+            ii = np.asarray(ipos[c0 : c0 + chunk], dtype=np.int32)
+            jj = np.asarray(jpos[c0 : c0 + chunk], dtype=np.int32)
+            n = len(ii)
+            if n < chunk:  # pad to a single static shape
+                ii = np.pad(ii, (0, chunk - n))
+                jj = np.pad(jj, (0, chunk - n))
+            res = np.asarray(self._pairs_mi(self.data, ipos=jnp.asarray(ii), jpos=jnp.asarray(jj)))
+            out[c0 : c0 + n] = res[:n]
+        return out
+
+    def sweep(self, threshold: float, progress=None) -> EdgeSet:
+        """All-pairs upper-triangle sweep storing edges with mi > threshold.
+
+        ``progress``: optional callable(row_start, row_end, n_edges, dt)
+        mirroring the reference per-block verbose lines (mi.hpp:497-506).
+        """
+        L, T, K = self.L, self.tile, self.config.edge_capacity
+        colmax = np.full(L, -np.inf)
+        all_i, all_j, all_mi, all_wog = [], [], [], []
+        bd = _buf_dtype(self.statics)
+        thr = jnp.asarray(threshold, bd)
+
+        for i0 in range(0, L, T):
+            t0 = time.perf_counter()
+            ci, cj, vals, wogs, idxs, count = jax.tree.map(
+                np.asarray,
+                self._row_sweep(self.data, i0=jnp.asarray(i0, jnp.int32), threshold=thr),
+            )
+            n = int(count)
+            if n > K:
+                # capacity overflow: re-run row and extract on host
+                mi_buf, wog_buf, store_base, _ = jax.tree.map(
+                    np.asarray, self._row_full(self.data, i0=jnp.asarray(i0, jnp.int32))
+                )
+                mask = store_base & (mi_buf > threshold)
+                ii, jj = np.nonzero(mask)
+                all_i.append(i0 + ii.astype(np.int64))
+                all_j.append(jj.astype(np.int64))
+                all_mi.append(mi_buf[mask].astype(np.float64))
+                all_wog.append(wog_buf[mask].astype(np.float64))
+            elif n > 0:
+                flat = idxs[:n]
+                all_i.append(i0 + (flat // self.Lp).astype(np.int64))
+                all_j.append((flat % self.Lp).astype(np.int64))
+                all_mi.append(vals[:n].astype(np.float64))
+                all_wog.append(wogs[:n].astype(np.float64))
+
+            hi = min(i0 + T, L)
+            colmax[i0:hi] = np.maximum(colmax[i0:hi], ci[: hi - i0])
+            colmax = np.maximum(colmax, cj[:L])
+            if progress is not None:
+                progress(i0, hi, n, time.perf_counter() - t0)
+
+        cat = lambda xs, dt: np.concatenate(xs) if xs else np.empty(0, dt)
+        return EdgeSet(
+            ipos=cat(all_i, np.int64),
+            jpos=cat(all_j, np.int64),
+            mi=cat(all_mi, np.float64),
+            mi_wog=cat(all_wog, np.float64),
+            colmax=colmax,
+        )

@@ -1,0 +1,180 @@
+"""Multi-device sharding of the MI tile sweep.
+
+The reference's only parallelism is shared-memory TBB: thread-private
+edge graphs merged by ``join`` (mi.hpp:336-361) under a
+tbb::parallel_reduce over block-rows (SpydrPick.hpp:143).  The TPU
+rebuild turns that into real SPMD (SURVEY §2 parallelism inventory):
+
+  * a 1-D ``Mesh`` over axis ``"rows"``;
+  * the alignment one-hot / presence tensors are *replicated*;
+  * each device owns one block-row of the upper-triangular tile grid
+    per step (tile data parallelism — the analogue of thread-private
+    ranges);
+  * per-position colmax is merged with ``jax.lax.pmax`` over the mesh
+    axis (the analogue of ``maxvaltracker::join``), and fixed-capacity
+    per-device edge buffers are gathered host-side (the analogue of
+    ``Graph::join``);
+  * block-row costs fall linearly with the row index (upper triangle),
+    so rows are scheduled in a balanced interleaving that pairs row r
+    with row R-1-r within each device batch.
+
+Multi-host note: with ``jax.distributed.initialize`` the same program
+runs over all hosts' devices; replication of the one-hot happens once
+over DCN and each step's collectives ride ICI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from spydrpick_tpu.engine.solver import (
+    DeviceData,
+    EdgeSet,
+    MIEngine,
+    SweepStatics,
+    row_sweep_core,
+)
+
+try:  # jax >= 0.6 exposes shard_map at the top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), axis_names=("rows",))
+
+
+def make_sharded_row_step(mesh: Mesh, st: SweepStatics):
+    """Jitted SPMD step: each device sweeps one block-row.
+
+    Inputs: data (replicated), row_starts (n_dev,) sharded over "rows",
+    threshold (replicated scalar array).
+    Outputs (per device leading axis where sharded): colmax_i
+    (n_dev, T), merged colmax_j (Lp,), edge buffers (n_dev, K), counts.
+    """
+    data_specs = jax.tree.map(lambda _: P(), DeviceData(*[0] * 6))
+
+    # check_vma=False: the fori_loop carry inside row_sweep_core starts
+    # as an unvarying jnp.full and becomes device-varying through i0 —
+    # semantically fine (each device owns its row), but the varying-
+    # manual-axes checker rejects the mixed carry type.
+    import inspect
+
+    _params = inspect.signature(shard_map).parameters
+    _flag = "check_vma" if "check_vma" in _params else "check_rep"
+    smap = partial(shard_map, **{_flag: False})
+
+    @jax.jit
+    @partial(
+        smap,
+        mesh=mesh,
+        in_specs=(data_specs, P("rows"), P()),
+        out_specs=(P("rows"), P(), P("rows"), P("rows"), P("rows"), P("rows")),
+    )
+    def step(data, row_starts, threshold):
+        i0 = row_starts[0]  # one row per device in this batch
+        colmax_i, colmax_j, vals, wogs, idxs, count = row_sweep_core(
+            data, st, i0, threshold
+        )
+        # the analogue of maxvaltracker::join (mi.hpp:256-265):
+        colmax_j = jax.lax.pmax(colmax_j, "rows")
+        return (
+            colmax_i[None],
+            colmax_j,
+            vals[None],
+            wogs[None],
+            idxs[None],
+            count[None],
+        )
+
+    return step
+
+
+def balanced_row_order(n_rows: int) -> list[int]:
+    """Interleave cheap and expensive rows: [0, R-1, 1, R-2, ...]."""
+    order = []
+    lo, hi = 0, n_rows - 1
+    while lo <= hi:
+        order.append(lo)
+        if hi != lo:
+            order.append(hi)
+        lo += 1
+        hi -= 1
+    return order
+
+
+def sharded_sweep(engine: MIEngine, threshold: float, mesh: Mesh | None = None,
+                  progress=None) -> EdgeSet:
+    """Multi-device all-pairs sweep; results identical to
+    ``MIEngine.sweep`` (shard-count invariance is tested — the analogue
+    of the reference's thread-count invariance, SURVEY §4)."""
+    mesh = mesh or make_mesh()
+    st = engine.statics
+    n_dev = mesh.devices.size
+    step = make_sharded_row_step(mesh, st)
+
+    L, T, K = st.L, st.tile, st.edge_capacity
+    n_rows = -(-L // T)
+    order = balanced_row_order(n_rows)
+    # pad to a multiple of n_dev by repeating the last row (dropped later)
+    while len(order) % n_dev:
+        order.append(order[-1])
+
+    colmax = np.full(L, -np.inf)
+    all_i, all_j, all_mi, all_wog = [], [], [], []
+    bd = jnp.float32 if st.cdtype == jnp.float32 else st.cdtype
+    thr = jnp.asarray(threshold, bd)
+
+    done: set[int] = set()
+    for b0 in range(0, len(order), n_dev):
+        batch = order[b0 : b0 + n_dev]
+        row_starts = jnp.asarray([r * T for r in batch], jnp.int32)
+        ci, cj, vals, wogs, idxs, counts = jax.tree.map(
+            np.asarray, step(engine.data, row_starts, thr)
+        )
+        colmax = np.maximum(colmax, cj[:L])
+        for d, r in enumerate(batch):
+            if r in done:
+                continue
+            done.add(r)
+            i0 = r * T
+            hi = min(i0 + T, L)
+            colmax[i0:hi] = np.maximum(colmax[i0:hi], ci[d, : hi - i0])
+            n = int(counts[d])
+            if n > K:
+                # overflow: fall back to the single-device full-row path
+                mi_buf, wog_buf, store_base, _ = jax.tree.map(
+                    np.asarray, engine._row_full(engine.data, i0=jnp.asarray(i0, jnp.int32))
+                )
+                mask = store_base & (mi_buf > threshold)
+                ii, jj = np.nonzero(mask)
+                all_i.append(i0 + ii.astype(np.int64))
+                all_j.append(jj.astype(np.int64))
+                all_mi.append(mi_buf[mask].astype(np.float64))
+                all_wog.append(wog_buf[mask].astype(np.float64))
+            elif n > 0:
+                flat = idxs[d, :n]
+                all_i.append(i0 + (flat // st.Lp).astype(np.int64))
+                all_j.append((flat % st.Lp).astype(np.int64))
+                all_mi.append(vals[d, :n].astype(np.float64))
+                all_wog.append(wogs[d, :n].astype(np.float64))
+            if progress is not None:
+                progress(i0, min(i0 + T, L), n, 0.0)
+
+    cat = lambda xs, dt: np.concatenate(xs) if xs else np.empty(0, dt)
+    return EdgeSet(
+        ipos=cat(all_i, np.int64),
+        jpos=cat(all_j, np.int64),
+        mi=cat(all_mi, np.float64),
+        mi_wog=cat(all_wog, np.float64),
+        colmax=colmax,
+    )

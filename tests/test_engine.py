@@ -1,0 +1,139 @@
+"""End-to-end engine tests: sweep vs brute-force oracle, colmax,
+thresholds, edge capacity overflow fallback."""
+
+import numpy as np
+
+from spydrpick_tpu.engine.outliers import outlier_thresholds, quartile
+from spydrpick_tpu.engine.solver import EngineConfig, MIEngine
+from spydrpick_tpu.ops.reference import crosstab_pair, mi_single
+
+from tests.conftest import random_alignment
+
+
+def brute_force_edges(al, threshold, pseudocount=0.5):
+    """(i, j, mi, mi_wog_effective) for all stored pairs + colmax, f64."""
+    S, L = al.n_samples, al.n_loci
+    w = al.weights
+    pres = al.state_presence
+    pres_w = al.state_presence_wo_gaps
+    gaps = al.gap_presence
+    edges = []
+    colmax = np.full(L, -np.inf)
+    for i in range(L):
+        for j in range(i + 1, L):
+            C = crosstab_pair(al.codes[:, i], al.codes[:, j], w)
+            mi = mi_single(C, pres[i], pres[j], pseudocount)
+            a, b = al.translation[i], al.translation[j]
+            d = abs(a - b)
+            d = min(d, al.n_original_positions - d)
+            if d > 0:  # ld_threshold=0
+                colmax[i] = max(colmax[i], mi)
+                colmax[j] = max(colmax[j], mi)
+            if mi > threshold:
+                if gaps[i] or gaps[j]:
+                    wog = mi_single(C, pres_w[i], pres_w[j], pseudocount)
+                else:
+                    wog = mi
+                edges.append((i, j, mi, wog))
+    return edges, colmax
+
+
+def _compare(al, threshold, config=None):
+    config = config or EngineConfig()
+    engine = MIEngine(al, config)
+    got = engine.sweep(threshold)
+    want, colmax = brute_force_edges(al, threshold, config.pseudocount)
+
+    got_pairs = {(int(i), int(j)): (m, wg) for i, j, m, wg in
+                 zip(got.ipos, got.jpos, got.mi, got.mi_wog)}
+    want_pairs = {(i, j): (mi, wog) for i, j, mi, wog in want}
+    # pairs may differ only right at the threshold boundary (f32 vs f64)
+    for k in set(got_pairs) ^ set(want_pairs):
+        m = got_pairs.get(k, want_pairs.get(k))[0]
+        assert abs(m - threshold) < 1e-4, (k, m)
+    for k in set(got_pairs) & set(want_pairs):
+        g_mi, g_wog = got_pairs[k]
+        mi, wog = want_pairs[k]
+        assert abs(g_mi - mi) < 5e-5, k
+        assert abs(g_wog - wog) < 5e-5, k
+    np.testing.assert_allclose(got.colmax, colmax, rtol=1e-4, atol=1e-5)
+    return got
+
+
+def test_sweep_matches_brute_force():
+    al = random_alignment(n_samples=80, n_loci=100, seed=7, gap_frac=0.15)
+    _compare(al, threshold=0.05)
+
+
+def test_sweep_small_tile_multiblock():
+    """Multiple tiles incl. a ragged last block (L=50, tile=16)."""
+    al = random_alignment(n_samples=50, n_loci=50, seed=8, gap_frac=0.2)
+    _compare(al, 0.02, EngineConfig(tile=16, edge_capacity=4096))
+
+
+def test_sweep_tile_invariance():
+    """Edges must not depend on the tile size (the analogue of the
+    reference's thread-count invariance, SURVEY §4)."""
+    al = random_alignment(n_samples=60, n_loci=70, seed=9)
+    e1 = MIEngine(al, EngineConfig(tile=16)).sweep(0.03).sort_desc()
+    e2 = MIEngine(al, EngineConfig(tile=64)).sweep(0.03).sort_desc()
+    assert e1.n_edges == e2.n_edges
+    np.testing.assert_array_equal(e1.ipos, e2.ipos)
+    np.testing.assert_array_equal(e1.jpos, e2.jpos)
+    np.testing.assert_allclose(e1.mi, e2.mi, rtol=1e-5)
+
+
+def test_capacity_overflow_fallback():
+    """Tiny edge buffer forces the full-row fallback path."""
+    al = random_alignment(n_samples=40, n_loci=60, seed=10)
+    full = _compare(al, 0.0, EngineConfig(tile=32, edge_capacity=8))
+    assert full.n_edges == 60 * 59 // 2  # threshold 0 stores everything
+
+
+def test_ld_threshold_masks_colmax_only():
+    """ld-threshold gates colmax updates but NOT edge storage
+    (mi.hpp:423-434)."""
+    al = random_alignment(n_samples=60, n_loci=30, seed=11)
+    e_no_ld = MIEngine(al, EngineConfig(tile=16)).sweep(0.0)
+    e_ld = MIEngine(al, EngineConfig(tile=16, ld_threshold=10)).sweep(0.0)
+    assert e_no_ld.n_edges == e_ld.n_edges
+    assert not np.array_equal(e_no_ld.colmax, e_ld.colmax)
+    # recompute colmax with the ld rule in numpy
+    mi_map = {}
+    for i, j, m in zip(e_no_ld.ipos, e_no_ld.jpos, e_no_ld.mi):
+        mi_map[(i, j)] = m
+    colmax = np.full(al.n_loci, -np.inf)
+    G = al.n_original_positions
+    for (i, j), m in mi_map.items():
+        d = abs(al.translation[i] - al.translation[j])
+        d = min(d, G - d)
+        if d > 10:
+            colmax[i] = max(colmax[i], m)
+            colmax[j] = max(colmax[j], m)
+    np.testing.assert_allclose(e_ld.colmax, colmax, rtol=1e-4)
+
+
+def test_circular_vs_linear_distance():
+    al = random_alignment(n_samples=40, n_loci=24, seed=12)
+    c = MIEngine(al, EngineConfig(tile=8, ld_threshold=12)).sweep(0.0)
+    l = MIEngine(al, EngineConfig(tile=8, ld_threshold=12, linear_genome=True)).sweep(0.0)
+    # circular wrap means pairs near the ends are closer -> colmax differs
+    assert not np.array_equal(c.colmax, l.colmax)
+
+
+def test_pair_mi_matches_sweep():
+    al = random_alignment(n_samples=70, n_loci=40, seed=13, gap_frac=0.1)
+    engine = MIEngine(al, EngineConfig(tile=16))
+    edges = engine.sweep(-1.0)  # store all
+    ii, jj = edges.ipos[:100], edges.jpos[:100]
+    pm = engine.pair_mi(ii, jj)
+    np.testing.assert_allclose(pm, edges.mi[:100], rtol=1e-4, atol=1e-6)
+
+
+def test_quartiles_and_tukey():
+    colmax = np.arange(100, dtype=np.float64)
+    assert quartile(colmax, 1) == 25.0
+    assert quartile(colmax, 3) == 75.0
+    out, ext = outlier_thresholds(colmax)
+    assert out == 75 + 1.5 * 50
+    assert ext == 75 + 3.0 * 50

@@ -1,0 +1,57 @@
+"""FASTA / loci-list IO tests."""
+
+import numpy as np
+import pytest
+
+from spydrpick_tpu.core.alphabet import encode_bytes
+from spydrpick_tpu.io.fasta import read_fasta, write_fasta
+from spydrpick_tpu.io.loci import parse_loci_list, parse_value_list
+
+
+def test_encode_semantics():
+    # A,C,G,T map to 0..3 case-insensitively; everything else is gap=4
+    # (reference README.md:42)
+    codes = encode_bytes(b"ACGTacgtNn-. X")
+    assert codes.tolist() == [0, 1, 2, 3, 0, 1, 2, 3, 4, 4, 4, 4, 4, 4]
+
+
+def test_fasta_roundtrip(tmp_path):
+    p = tmp_path / "a.fasta"
+    p.write_text(">s1 desc\nACGT-\nACGTN\n>s2\nacgtn\nACGT.\n")
+    al = read_fasta(p)
+    assert al.n_samples == 2
+    assert al.n_loci == 10
+    assert al.sample_names == ["s1", "s2"]
+    assert al.codes[0].tolist() == [0, 1, 2, 3, 4, 0, 1, 2, 3, 4]
+    assert al.codes[1].tolist() == [0, 1, 2, 3, 4, 0, 1, 2, 3, 4]
+    out = tmp_path / "out.fasta"
+    write_fasta(out, al)
+    al2 = read_fasta(out)
+    assert np.array_equal(al.codes, al2.codes)
+    assert al2.sample_names == al.sample_names
+
+
+def test_fasta_unaligned_raises(tmp_path):
+    p = tmp_path / "bad.fasta"
+    p.write_text(">a\nACGT\n>b\nACG\n")
+    with pytest.raises(ValueError, match="unaligned"):
+        read_fasta(p)
+
+
+def test_fasta_mappings(tmp_path):
+    p = tmp_path / "a.fasta"
+    p.write_text(">a\nACGT\n")
+    al = read_fasta(p, mappings=np.array([10, 20, 30, 400]))
+    assert al.translation.tolist() == [10, 20, 30, 400]
+    assert al.n_original_positions == 401
+    al2 = read_fasta(p, mappings=np.array([10, 20, 30, 400]), genome_size=1000)
+    assert al2.n_original_positions == 1000
+
+
+def test_loci_and_value_lists(tmp_path):
+    p = tmp_path / "loci.txt"
+    p.write_text("1 5\n9\t12\n")
+    assert parse_loci_list(p, indexing_base=1).tolist() == [0, 4, 8, 11]
+    v = tmp_path / "vals.txt"
+    v.write_text("0.5 1.25\n2.0\n")
+    assert parse_value_list(v).tolist() == [0.5, 1.25, 2.0]

@@ -1,0 +1,58 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh.
+
+Shard-count invariance of the merged edge list is the analogue of the
+reference's thread-count invariance (SURVEY §4): the tbb::parallel_reduce
+join (mi.hpp:355-361) must not change results, and neither may our mesh
+size.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from spydrpick_tpu.engine.solver import EngineConfig, MIEngine
+from spydrpick_tpu.parallel.mesh import balanced_row_order, make_mesh, sharded_sweep
+
+from tests.conftest import random_alignment
+
+
+@pytest.fixture(scope="module")
+def engine():
+    al = random_alignment(n_samples=60, n_loci=100, seed=40, gap_frac=0.1)
+    return MIEngine(al, EngineConfig(tile=16, edge_capacity=4096))
+
+
+def _key(e):
+    order = np.lexsort((e.jpos, e.ipos))
+    return e.ipos[order], e.jpos[order], e.mi[order], e.mi_wog[order]
+
+
+def test_devices_available():
+    assert jax.device_count() == 8, "conftest must force 8 virtual CPU devices"
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 8])
+def test_sharded_matches_single_device(engine, n_dev):
+    single = engine.sweep(0.05)
+    mesh = make_mesh(n_dev)
+    sharded = sharded_sweep(engine, 0.05, mesh)
+    si, sj, sm, sw = _key(single)
+    mi_, mj, mm, mw = _key(sharded)
+    np.testing.assert_array_equal(si, mi_)
+    np.testing.assert_array_equal(sj, mj)
+    np.testing.assert_allclose(sm, mm, rtol=1e-6)
+    np.testing.assert_allclose(sw, mw, rtol=1e-6)
+    np.testing.assert_allclose(single.colmax, sharded.colmax, rtol=1e-6)
+
+
+def test_balanced_row_order():
+    assert balanced_row_order(5) == [0, 4, 1, 3, 2]
+    assert balanced_row_order(4) == [0, 3, 1, 2]
+    assert sorted(balanced_row_order(17)) == list(range(17))
+
+
+def test_dryrun_multichip_entrypoint():
+    """The driver-facing multichip dry run must compile and execute."""
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
