@@ -1,0 +1,61 @@
+#!/bin/bash
+# Run a python script against the live TPU with wedge protection.
+#
+# The axon tunnel can wedge at PJRT init OR at (remote) compile: the
+# process blocks on a futex with ~0 CPU growth and shrugs off SIGTERM.
+# Watchdog: monitor combined stall — if neither the log grows nor the
+# process accumulates CPU time for STALL_SECS, SIGKILL it and retry
+# after a cooldown.
+#
+# Scripts should print progress (flush=True) regularly.
+#
+# usage: scripts/tpu_run.sh <script.py> [args...]
+# env: TPU_RUN_TIMEOUT (default 540s), TPU_RUN_STALL (default 150s)
+
+set -u
+LOG=$(mktemp)
+trap 'rm -f "$LOG"' EXIT
+STALL="${TPU_RUN_STALL:-150}"
+TOTAL="${TPU_RUN_TIMEOUT:-540}"
+
+cpu_ticks() { awk '{print $14+$15}' "/proc/$1/stat" 2>/dev/null || echo ""; }
+
+for attempt in 1 2 3 4 5 6; do
+  : > "$LOG"
+  python -u "$@" >"$LOG" 2>&1 &
+  pid=$!
+
+  start=$(date +%s)
+  last_change=$start
+  last_size=0
+  last_cpu=0
+  wedged=0
+  while kill -0 "$pid" 2>/dev/null; do
+    sleep 5
+    now=$(date +%s)
+    size=$(stat -c %s "$LOG" 2>/dev/null || echo 0)
+    cpu=$(cpu_ticks "$pid")
+    if [ "$size" != "$last_size" ] || { [ -n "$cpu" ] && [ "$cpu" -gt $((last_cpu + 40)) ]; }; then
+      last_change=$now
+      last_size=$size
+      last_cpu=${cpu:-0}
+    fi
+    if [ $((now - last_change)) -ge "$STALL" ] || [ $((now - start)) -ge "$TOTAL" ]; then
+      wedged=1
+      break
+    fi
+  done
+
+  if [ "$wedged" = 0 ]; then
+    wait "$pid"; rc=$?
+    cat "$LOG"
+    exit $rc
+  fi
+
+  echo "tpu_run: stalled (attempt $attempt); killing $pid, cooling down 45s" >&2
+  kill -9 "$pid" 2>/dev/null
+  sleep 45
+done
+echo "tpu_run: giving up after 6 attempts; last log:" >&2
+cat "$LOG" >&2
+exit 1

@@ -82,6 +82,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--edge-capacity", type=int, default=1 << 19,
                    help="per-block-row on-device edge buffer capacity")
     g.add_argument("--output-dir", default=".", help="directory for output files")
+    g.add_argument("--checkpoint", help="sweep checkpoint file: resume a killed run")
+    g.add_argument("--checkpoint-every", type=int, default=16,
+                   help="checkpoint every N block-rows")
     return p
 
 
@@ -131,6 +134,8 @@ def main(argv=None) -> int:
         tile=args.tile,
         edge_capacity=args.edge_capacity,
         output_dir=args.output_dir,
+        checkpoint=args.checkpoint,
+        checkpoint_every=args.checkpoint_every,
     )
     try:
         run_pipeline(opts)

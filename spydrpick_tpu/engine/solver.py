@@ -32,6 +32,7 @@ spydrpick_tpu/parallel/mesh.py).
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from functools import partial
 from typing import NamedTuple
@@ -58,6 +59,14 @@ class EngineConfig:
     linear_genome: bool = False     # --linear-genome
     compute_dtype: str = "float32"  # or "float64" (CPU testing)
     storage_dtype: str = "bfloat16" # one-hot HBM layout
+    # MXU passes for the f32 crosstable matmul: "highest" = 6-pass
+    # (full f32), "high" = 3-pass. The one-hot operand is exact in
+    # bf16, so "high" splits only the weighted side and is ~f32-exact;
+    # "default" (1-pass bf16) rounds the weights to 8 bits — unsafe.
+    matmul_precision: str = "high"
+    # fused Pallas MI kernel (ops/mi_pallas.py): "auto" enables it on
+    # TPU when the tile is a multiple of its 128-column block
+    use_pallas: str = "auto"   # "auto" | "on" | "off"
     verbose: bool = False
 
 
@@ -87,10 +96,20 @@ class SweepStatics:
     linear_genome: bool
     genome_size: int
     compute_dtype: str
+    matmul_precision: str = "highest"
+    use_pallas: bool = False
 
     @property
     def cdtype(self):
         return jnp.dtype(self.compute_dtype)
+
+    @property
+    def precision(self):
+        return {
+            "highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT,
+        }[self.matmul_precision]
 
 
 @dataclasses.dataclass
@@ -142,7 +161,7 @@ def tile_mi_pair(data: DeviceData, st: SweepStatics, xi_w, xj, i0, j0):
     ops/mi.py:crosstab_tile_flat for why (4% lane utilisation in the
     (TI,TJ,5,5) layout dominated the sweep on hardware)."""
     T = st.tile
-    C = crosstab_tile_flat(xi_w, xj, dtype=_buf_dtype(st))
+    C = crosstab_tile_flat(xi_w, xj, dtype=_buf_dtype(st), precision=st.precision)
     ipf = jax.lax.dynamic_slice_in_dim(data.presence, i0, T, 0).reshape(-1)
     jpf = jax.lax.dynamic_slice_in_dim(data.presence, j0, T, 0).reshape(-1)
     ipwf = jax.lax.dynamic_slice_in_dim(data.presence_wog, i0, T, 0).reshape(-1)
@@ -158,13 +177,29 @@ def tile_mi_pair(data: DeviceData, st: SweepStatics, xi_w, xj, i0, j0):
     return mi, jnp.where(either, mi_wog, mi)
 
 
+def _wog_effective(data: DeviceData, st: SweepStatics, mi, mi_wog, i0, j0):
+    """Apply the reference's gap-afflicted defaulting: the stored
+    wo-gaps weight is mi unless either column contains gaps
+    (mi.hpp:433 + SpydrPick.hpp:106-107)."""
+    T = st.tile
+    gi = jax.lax.dynamic_slice_in_dim(data.gap, i0, T, 0)
+    gj = jax.lax.dynamic_slice_in_dim(data.gap, j0, T, 0)
+    return jnp.where(gi[:, None] | gj[None, :], mi_wog, mi)
+
+
 def row_buffers(data: DeviceData, st: SweepStatics, i0):
     """Fill (tile, Lp) MI row buffers for block-row i0 via fori_loop."""
     T, S = st.tile, st.S
     bd = _buf_dtype(st)
 
     xi = jax.lax.dynamic_slice(data.onehot, (0, i0 * N_STATES), (S, T * N_STATES))
-    xi_w = (xi.astype(st.cdtype) * data.weights[:, None].astype(st.cdtype)).astype(bd)
+    xi_w = xi.astype(st.cdtype) * data.weights[:, None].astype(st.cdtype)
+    if st.use_pallas:
+        from spydrpick_tpu.ops.mi_pallas import split_bf16
+
+        xi_hi, xi_lo = split_bf16(xi_w.astype(jnp.float32))
+    else:
+        xi_w = xi_w.astype(bd)
 
     mi_buf = jnp.full((T, st.Lp), -jnp.inf, dtype=bd)
     wog_buf = jnp.full((T, st.Lp), -jnp.inf, dtype=bd)
@@ -173,9 +208,24 @@ def row_buffers(data: DeviceData, st: SweepStatics, i0):
         mi_buf, wog_buf = bufs
         j0 = c * T
         xj = jax.lax.dynamic_slice(data.onehot, (0, j0 * N_STATES), (S, T * N_STATES))
-        mi, wog = tile_mi_pair(data, st, xi_w, xj, i0, j0)
-        mi_buf = jax.lax.dynamic_update_slice(mi_buf, mi, (0, j0))
-        wog_buf = jax.lax.dynamic_update_slice(wog_buf, wog, (0, j0))
+        if st.use_pallas:
+            from spydrpick_tpu.ops.mi_pallas import mi_tile_pallas
+
+            ipf = jax.lax.dynamic_slice_in_dim(data.presence, i0, T, 0).reshape(-1)
+            jpf = jax.lax.dynamic_slice_in_dim(data.presence, j0, T, 0).reshape(-1)
+            ipwf = jax.lax.dynamic_slice_in_dim(data.presence_wog, i0, T, 0).reshape(-1)
+            jpwf = jax.lax.dynamic_slice_in_dim(data.presence_wog, j0, T, 0).reshape(-1)
+            mi, mi_wog = mi_tile_pallas(
+                xi_hi, xi_lo, xj.astype(jnp.bfloat16),
+                ipf.astype(jnp.float32), jpf.astype(jnp.float32),
+                ipwf.astype(jnp.float32), jpwf.astype(jnp.float32),
+                pseudocount=st.pseudocount,
+            )
+            wog = _wog_effective(data, st, mi, mi_wog, i0, j0)
+        else:
+            mi, wog = tile_mi_pair(data, st, xi_w, xj, i0, j0)
+        mi_buf = jax.lax.dynamic_update_slice(mi_buf, mi.astype(bd), (0, j0))
+        wog_buf = jax.lax.dynamic_update_slice(wog_buf, wog.astype(bd), (0, j0))
         return mi_buf, wog_buf
 
     return jax.lax.fori_loop(i0 // T, st.n_chunks, body, (mi_buf, wog_buf))
@@ -244,7 +294,7 @@ def pairs_mi_core(data: DeviceData, st: SweepStatics, ipos, jpos):
     xi_w = xi * data.weights[:, None, None].astype(st.cdtype)
     C = jnp.einsum("spa,spb->pab", xi_w, xj,
                    preferred_element_type=_buf_dtype(st),
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=st.precision)
     ip = data.presence[ipos]
     jp = data.presence[jpos]
     return mi_from_crosstabs(C, ip, jp, st.pseudocount)
@@ -264,8 +314,25 @@ def build_device_data(alignment: Alignment, config: EngineConfig) -> tuple[Devic
     if cdtype == jnp.float64:
         sdtype = jnp.float64  # keep everything f64 in x64 test mode
 
+    # resolve the fused-kernel flag: needs TPU + kernel-aligned tiles
+    from spydrpick_tpu.ops.mi_pallas import BI as _BI, BS as _BS
+
+    if config.use_pallas == "on":
+        use_pallas = True
+    elif config.use_pallas == "off":
+        use_pallas = False
+    else:
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and tile % _BI == 0
+            and cdtype == jnp.float32
+        )
+    n_samples = S
+    if use_pallas:
+        S = _ceil_to(S, _BS)  # zero sample rows are exact no-ops
+
     codes = np.full((S, Lp), 255, dtype=np.uint8)
-    codes[:, :L] = alignment.codes
+    codes[:n_samples, :L] = alignment.codes
     codes_dev = jnp.asarray(codes)
     states = jnp.arange(N_STATES, dtype=jnp.uint8)
     onehot = (
@@ -283,7 +350,10 @@ def build_device_data(alignment: Alignment, config: EngineConfig) -> tuple[Devic
     gap[:L] = alignment.gap_presence
     orig = np.full(Lp, np.iinfo(np.int32).max // 4, dtype=np.int32)
     orig[:L] = alignment.translation.astype(np.int32)
-    w = alignment.weights if alignment.weights is not None else np.ones(S)
+    w = np.zeros(S)
+    w[:n_samples] = (
+        alignment.weights if alignment.weights is not None else np.ones(n_samples)
+    )
 
     data = DeviceData(
         onehot=onehot,
@@ -303,6 +373,8 @@ def build_device_data(alignment: Alignment, config: EngineConfig) -> tuple[Devic
         linear_genome=config.linear_genome,
         genome_size=int(alignment.n_original_positions),
         compute_dtype=config.compute_dtype,
+        matmul_precision=config.matmul_precision,
+        use_pallas=use_pallas,
     )
     return data, statics
 
@@ -340,23 +412,55 @@ class MIEngine:
             out[c0 : c0 + n] = res[:n]
         return out
 
-    def sweep(self, threshold: float, progress=None) -> EdgeSet:
+    def sweep(
+        self,
+        threshold: float,
+        progress=None,
+        checkpoint_path: str | None = None,
+        checkpoint_every: int = 16,
+    ) -> EdgeSet:
         """All-pairs upper-triangle sweep storing edges with mi > threshold.
 
         ``progress``: optional callable(row_start, row_end, n_edges, dt)
         mirroring the reference per-block verbose lines (mi.hpp:497-506).
+        ``checkpoint_path``: optional tile-range checkpoint (resume a
+        killed run; saved every ``checkpoint_every`` rows).
         """
+        from spydrpick_tpu.engine import checkpoint as ckpt_mod
+
         L, T, K = self.L, self.tile, self.config.edge_capacity
         colmax = np.full(L, -np.inf)
         all_i, all_j, all_mi, all_wog = [], [], [], []
+        done_rows: set[int] = set()
+        ck_key = ckpt_mod.params_key(self.statics, threshold)
+        if checkpoint_path:
+            ck = ckpt_mod.load(checkpoint_path, ck_key)
+            if ck is not None:
+                colmax = ck.colmax
+                all_i, all_j, all_mi, all_wog = ck.ipos, ck.jpos, ck.mi, ck.mi_wog
+                done_rows = ck.done_rows
         bd = _buf_dtype(self.statics)
         thr = jnp.asarray(threshold, bd)
 
-        for i0 in range(0, L, T):
+        # Pipelined dispatch: enqueue row i+1 before fetching row i so the
+        # device computes while the host converts/extracts (the dispatch
+        # round-trip through the TPU tunnel is ~30 ms).
+        row_starts = [r for r in range(0, L, T) if r not in done_rows]
+        pending: dict[int, tuple] = {}
+
+        def dispatch(i0):
+            pending[i0] = self._row_sweep(
+                self.data, i0=jnp.asarray(i0, jnp.int32), threshold=thr
+            )
+
+        if row_starts:
+            dispatch(row_starts[0])
+        for ridx, i0 in enumerate(row_starts):
             t0 = time.perf_counter()
+            if ridx + 1 < len(row_starts):
+                dispatch(row_starts[ridx + 1])
             ci, cj, vals, wogs, idxs, count = jax.tree.map(
-                np.asarray,
-                self._row_sweep(self.data, i0=jnp.asarray(i0, jnp.int32), threshold=thr),
+                np.asarray, pending.pop(i0)
             )
             n = int(count)
             if n > K:
@@ -380,8 +484,19 @@ class MIEngine:
             hi = min(i0 + T, L)
             colmax[i0:hi] = np.maximum(colmax[i0:hi], ci[: hi - i0])
             colmax = np.maximum(colmax, cj[:L])
+            done_rows.add(i0)
+            if checkpoint_path and (ridx + 1) % checkpoint_every == 0:
+                ckpt_mod.save(
+                    checkpoint_path,
+                    ckpt_mod.SweepCheckpoint(
+                        ck_key, done_rows, colmax, all_i, all_j, all_mi, all_wog
+                    ),
+                )
             if progress is not None:
                 progress(i0, hi, n, time.perf_counter() - t0)
+
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            os.unlink(checkpoint_path)  # run completed; stale resume data
 
         cat = lambda xs, dt: np.concatenate(xs) if xs else np.empty(0, dt)
         return EdgeSet(

@@ -1,0 +1,176 @@
+"""Fused Pallas TPU kernel for the MI tile sweep.
+
+Computes, for a (TI, TJ) tile of column pairs, both MI variants
+(with / without gap states) directly from the one-hot operands —
+the weighted 5x5 crosstables never leave VMEM.  This fuses the two
+stages of the reference hot loop (apegrunt crosstable kernel +
+``normalize_and_get_mi_row``, include/mi.hpp:108-181) into a single
+MXU-resident pipeline.
+
+Design notes (see also ops/mi.py:mi_from_crosstab_flat for the math):
+
+  * grid (TI/BI, TJ/BJ, S/BS); the S axis is the minor grid dimension
+    so the (BI*5, BJ*5) crosstable block accumulates in a VMEM scratch
+    across consecutive invocations (standard matmul revisiting);
+  * the weighted one-hot i-operand is passed as a bf16 (hi, lo) pair:
+    ``w ~ hi + lo`` with both products against the 0/1 one-hot exact in
+    bf16, so two DEFAULT-precision MXU passes reach ~2^-16 relative
+    count accuracy — 3x fewer passes than an f32 HIGHEST dot;
+  * the entropy stage runs on the final S-step while the crosstable
+    block sits in VMEM: the 5-state group reductions are expressed as
+    dots against 0/1 group-indicator matrices (built once per block
+    from iota), keeping every tensor's minor dimension >= 128 — a
+    (TI, TJ, 5, 5) layout would waste 96% of each TPU lane register;
+  * the normalisation division folds into the log identity
+    ``sum pm*xlogx(A/Z) = (sum pm*A*lnA - lnZ*Z)/Z`` so only (BI, BJ)
+    tensors are divided.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spydrpick_tpu.core.alphabet import N_STATES
+
+BI = 128   # i-columns per block
+BJ = 128   # j-columns per block
+BS = 512   # samples per accumulation step
+
+
+def _group_indicator(n_cols: int, dtype):
+    """(n_cols*5, n_cols) 0/1 matrix: G[a, i] = 1 iff a // 5 == i."""
+    a = jax.lax.broadcasted_iota(jnp.int32, (n_cols * N_STATES, n_cols), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (n_cols * N_STATES, n_cols), 1)
+    return (a // N_STATES == i).astype(dtype)
+
+
+def _ln_pos(x):
+    return jnp.log(jnp.where(x > 0, x, 1.0))
+
+
+def _mi_from_block(C, ipf, jpf, pc):
+    """(BI, BJ) MI from a (BI*5, BJ*5) crosstable block in registers."""
+    f32 = jnp.float32
+    G = _group_indicator(BI, f32)          # (640, 128); BI == BJ assumed
+    Mi = G * ipf[:, None]                  # presence-masked indicators
+    Mj = G * jpf[:, None]
+
+    pm = ipf[:, None] * jpf[None, :]
+    A = C + pc * pm
+    lnA = _ln_pos(A)
+
+    dot = functools.partial(jax.lax.dot_general, preferred_element_type=f32)
+    mm = lambda x, y: dot(x, y, dimension_numbers=(((1,), (0,)), ((), ())))
+    mmT = lambda x, y: dot(x, y, dimension_numbers=(((0,), (0,)), ((), ())))
+
+    B = mm(A, Mj)                          # (640, 128) masked col sums
+    Z = mmT(Mi, B)                         # (128, 128)
+    G1 = mmT(Mi, mm(A * lnA, Mj))          # sum pm*A*lnA
+    lnB = _ln_pos(B)
+    Gj_ = mmT(Mi, B * lnB)                 # i-marginal entropy numerator
+    # j-marginal uses the FULL row sum over all i-states (mi.hpp:173)
+    R = mmT(G, A)                          # (128, 640) unmasked row sums
+    lnR = _ln_pos(R)
+    Gi_ = mm(R * lnR, Mj)                  # (128, 128)
+    Si_ = mm(R, Mj)
+
+    invZ = 1.0 / jnp.maximum(Z, jnp.finfo(f32).tiny)
+    lnZ = _ln_pos(Z)
+    jointH = (G1 - lnZ * Z) * invZ
+    icondH = (Gi_ - lnZ * Si_) * invZ
+    jcondH = (Gj_ - lnZ * Z) * invZ        # S_j == Z (masked sums telescope)
+    return jointH - icondH - jcondH
+
+
+def _kernel(xi_hi_ref, xi_lo_ref, xj_ref, ipf_ref, jpf_ref, ipwf_ref, jpwf_ref,
+            mi_ref, wog_ref, C_scratch, *, pc, n_k):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        C_scratch[:] = jnp.zeros_like(C_scratch)
+
+    contract = lambda a, b: jax.lax.dot_general(
+        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    C_scratch[:] += contract(xi_hi_ref[:], xj_ref[:])
+    C_scratch[:] += contract(xi_lo_ref[:], xj_ref[:])
+
+    @pl.when(k == n_k - 1)
+    def _():
+        C = C_scratch[:]
+        ipf = ipf_ref[0, :]
+        jpf = jpf_ref[0, :]
+        mi_ref[:] = _mi_from_block(C, ipf, jpf, pc)
+        ipwf = ipwf_ref[0, :]
+        jpwf = jpwf_ref[0, :]
+        wog_ref[:] = _mi_from_block(C, ipwf, jpwf, pc)
+
+
+def split_bf16(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """f32 -> (hi, lo) bf16 pair with hi + lo ~ x (residual ~2^-16 rel)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def mi_tile_pallas(
+    xi_hi: jnp.ndarray,   # (S, TI*5) bf16 weighted one-hot, hi part
+    xi_lo: jnp.ndarray,   # (S, TI*5) bf16 residual
+    xj: jnp.ndarray,      # (S, TJ*5) bf16 one-hot
+    ipf: jnp.ndarray,     # (TI*5,) f32 presence
+    jpf: jnp.ndarray,     # (TJ*5,) f32
+    ipwf: jnp.ndarray,    # (TI*5,) f32 presence w/o gaps
+    jpwf: jnp.ndarray,    # (TJ*5,) f32
+    pseudocount: float = 0.5,
+    interpret: bool | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(mi, mi_wo_gaps), each (TI, TJ) f32. S and tiles must be multiples
+    of (BS, BI, BJ) — pad samples with zero rows (exact: zero one-hot
+    contributes nothing to the crosstable)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    S, TI5 = xi_hi.shape
+    TJ5 = xj.shape[1]
+    TI, TJ = TI5 // N_STATES, TJ5 // N_STATES
+    assert S % BS == 0 and TI % BI == 0 and TJ % BJ == 0, (S, TI, TJ)
+    n_k = S // BS
+    grid = (TI // BI, TJ // BJ, n_k)
+
+    kernel = functools.partial(_kernel, pc=pseudocount, n_k=n_k)
+    mi, wog = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BS, BI * N_STATES), lambda i, j, k: (k, i)),
+            pl.BlockSpec((BS, BI * N_STATES), lambda i, j, k: (k, i)),
+            pl.BlockSpec((BS, BJ * N_STATES), lambda i, j, k: (k, j)),
+            pl.BlockSpec((1, BI * N_STATES), lambda i, j, k: (0, i)),
+            pl.BlockSpec((1, BJ * N_STATES), lambda i, j, k: (0, j)),
+            pl.BlockSpec((1, BI * N_STATES), lambda i, j, k: (0, i)),
+            pl.BlockSpec((1, BJ * N_STATES), lambda i, j, k: (0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((BI, BJ), lambda i, j, k: (i, j)),
+            pl.BlockSpec((BI, BJ), lambda i, j, k: (i, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((TI, TJ), jnp.float32),
+            jax.ShapeDtypeStruct((TI, TJ), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BI * N_STATES, BJ * N_STATES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        xi_hi, xi_lo, xj,
+        ipf.reshape(1, -1), jpf.reshape(1, -1),
+        ipwf.reshape(1, -1), jpwf.reshape(1, -1),
+    )
+    return mi, wog

@@ -84,6 +84,8 @@ class PipelineOptions:
     tile: int = 512
     edge_capacity: int = 1 << 19
     output_dir: str = "."
+    checkpoint: str | None = None       # sweep checkpoint file (resume support)
+    checkpoint_every: int = 16
 
 
 @dataclasses.dataclass
@@ -213,7 +215,12 @@ def run_pipeline(opts: PipelineOptions, write_outputs: bool = True) -> PipelineR
     def progress(lo, hi, n_new, dt):
         _log(opts, f"  {lo + 1}-{hi} / {alignment.n_loci} ({n_new} new edges) time={dt:.3f}s")
 
-    edges = engine.sweep(mi_threshold, progress=progress if opts.verbose else None)
+    edges = engine.sweep(
+        mi_threshold,
+        progress=progress if opts.verbose else None,
+        checkpoint_path=opts.checkpoint,
+        checkpoint_every=opts.checkpoint_every,
+    )
     _log(opts, f"{edges.n_edges} edges stored")
 
     outlier_thr, extreme_thr = outlier_thresholds(edges.colmax)

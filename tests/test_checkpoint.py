@@ -1,0 +1,86 @@
+"""Sweep checkpoint/resume tests (new capability vs the reference,
+SURVEY §5: the reference run is monolithic with no resume)."""
+
+import numpy as np
+
+from spydrpick_tpu.engine import checkpoint as ck
+from spydrpick_tpu.engine.solver import EngineConfig, MIEngine
+
+from tests.conftest import random_alignment
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    path = str(tmp_path / "sweep.ckpt")
+    c = ck.SweepCheckpoint(
+        params_key="k1",
+        done_rows={0, 16, 32},
+        colmax=np.array([0.1, 0.2]),
+        ipos=[np.array([1, 2])],
+        jpos=[np.array([3, 4])],
+        mi=[np.array([0.5, 0.6])],
+        mi_wog=[np.array([0.4, 0.55])],
+    )
+    ck.save(path, c)
+    got = ck.load(path, "k1")
+    assert got is not None
+    assert got.done_rows == {0, 16, 32}
+    np.testing.assert_array_equal(got.colmax, c.colmax)
+    np.testing.assert_array_equal(got.ipos[0], [1, 2])
+    # mismatched parameters -> ignored
+    assert ck.load(path, "other-key") is None
+    assert ck.load(str(tmp_path / "missing.ckpt"), "k1") is None
+
+
+def test_sweep_resume_matches_clean_run(tmp_path):
+    al = random_alignment(n_samples=50, n_loci=64, seed=50, gap_frac=0.1)
+    engine = MIEngine(al, EngineConfig(tile=8))
+    clean = engine.sweep(0.02).sort_desc()
+
+    # simulate a killed run: checkpoint after every row, stop after 3 rows
+    path = str(tmp_path / "sweep.ckpt")
+    key = ck.params_key(engine.statics, 0.02)
+    partial_rows = [0, 8, 16]
+    colmax = np.full(al.n_loci, -np.inf)
+    all_i, all_j, all_mi, all_wog = [], [], [], []
+    import jax
+    import jax.numpy as jnp
+
+    for i0 in partial_rows:
+        ci, cj, vals, wogs, idxs, count = jax.tree.map(
+            np.asarray,
+            engine._row_sweep(engine.data, i0=jnp.asarray(i0, jnp.int32),
+                              threshold=jnp.asarray(0.02, jnp.float32)),
+        )
+        n = int(count)
+        flat = idxs[:n]
+        all_i.append(i0 + (flat // engine.Lp).astype(np.int64))
+        all_j.append((flat % engine.Lp).astype(np.int64))
+        all_mi.append(vals[:n].astype(np.float64))
+        all_wog.append(wogs[:n].astype(np.float64))
+        hi = min(i0 + 8, al.n_loci)
+        colmax[i0:hi] = np.maximum(colmax[i0:hi], ci[: hi - i0])
+        colmax = np.maximum(colmax, cj[: al.n_loci])
+    ck.save(path, ck.SweepCheckpoint(key, set(partial_rows), colmax,
+                                     all_i, all_j, all_mi, all_wog))
+
+    resumed = engine.sweep(0.02, checkpoint_path=path).sort_desc()
+    assert resumed.n_edges == clean.n_edges
+    np.testing.assert_array_equal(resumed.ipos, clean.ipos)
+    np.testing.assert_array_equal(resumed.jpos, clean.jpos)
+    np.testing.assert_allclose(resumed.mi, clean.mi, rtol=1e-6)
+    np.testing.assert_allclose(resumed.colmax, clean.colmax, rtol=1e-6)
+    # completed run removes the checkpoint
+    import os
+
+    assert not os.path.exists(path)
+
+
+def test_checkpoint_written_during_sweep(tmp_path):
+    al = random_alignment(n_samples=40, n_loci=64, seed=51)
+    engine = MIEngine(al, EngineConfig(tile=8))
+    path = str(tmp_path / "s.ckpt")
+    engine.sweep(0.05, checkpoint_path=path, checkpoint_every=2)
+    # file removed after successful completion
+    import os
+
+    assert not os.path.exists(path)

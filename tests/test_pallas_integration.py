@@ -1,0 +1,23 @@
+"""Integrated Pallas sweep path vs the XLA path (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from spydrpick_tpu.engine.solver import EngineConfig, MIEngine
+from spydrpick_tpu.ops.mi_pallas import BI
+
+from tests.conftest import random_alignment
+
+
+def test_pallas_sweep_matches_xla_path():
+    al = random_alignment(n_samples=40, n_loci=2 * BI, seed=60, gap_frac=0.15)
+    xla = MIEngine(al, EngineConfig(tile=BI, use_pallas="off")).sweep(0.05).sort_desc()
+    pls = MIEngine(al, EngineConfig(tile=BI, use_pallas="on")).sweep(0.05).sort_desc()
+    # bf16 hi/lo split tolerance near the threshold boundary
+    assert abs(xla.n_edges - pls.n_edges) <= max(2, xla.n_edges // 200)
+    both = set(zip(xla.ipos, xla.jpos)) & set(zip(pls.ipos, pls.jpos))
+    xm = {(i, j): m for i, j, m in zip(xla.ipos, xla.jpos, xla.mi)}
+    pm = {(i, j): m for i, j, m in zip(pls.ipos, pls.jpos, pls.mi)}
+    for k in both:
+        assert abs(xm[k] - pm[k]) < 3e-4, k
+    np.testing.assert_allclose(xla.colmax, pls.colmax, atol=3e-4)
