@@ -61,7 +61,7 @@ def main():
         out = engine._row_sweep(engine.data, i0=jnp.asarray(i0, jnp.int32), threshold=thr)
         # force completion with a host fetch: block_until_ready is not a
         # reliable sync on the tunneled TPU platform (measured)
-        return float(out[5])
+        return float(out[6])
 
     run_row(0)  # warmup / compile
 

@@ -81,7 +81,7 @@ def main():
         out = engine._row_sweep(
             engine.data, i0=jnp.asarray(i0v, jnp.int32), threshold=thr
         )
-        return float(out[5])
+        return float(out[6])
 
     full(0)
     t = time.perf_counter()

@@ -53,7 +53,7 @@ def main():
 
         def run(i0):
             out = eng._row_sweep(eng.data, i0=jnp.asarray(i0, jnp.int32), threshold=thr)
-            return float(out[5])
+            return float(out[6])
 
         run(0)
         t = time.perf_counter()

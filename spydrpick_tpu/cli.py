@@ -85,6 +85,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--checkpoint", help="sweep checkpoint file: resume a killed run")
     g.add_argument("--checkpoint-every", type=int, default=16,
                    help="checkpoint every N block-rows")
+    g.add_argument("--profile-dir", help="write a jax.profiler trace here")
+    g.add_argument("--sharded", action="store_true",
+                   help="shard the sweep over all visible devices")
     return p
 
 
@@ -136,6 +139,8 @@ def main(argv=None) -> int:
         output_dir=args.output_dir,
         checkpoint=args.checkpoint,
         checkpoint_every=args.checkpoint_every,
+        profile_dir=args.profile_dir,
+        sharded=args.sharded,
     )
     try:
         run_pipeline(opts)

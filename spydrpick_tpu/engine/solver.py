@@ -59,6 +59,8 @@ class EngineConfig:
     linear_genome: bool = False     # --linear-genome
     compute_dtype: str = "float32"  # or "float64" (CPU testing)
     storage_dtype: str = "bfloat16" # one-hot HBM layout
+    store_capacity: int = 1 << 24   # device-resident edge store (cap per run)
+    rows_per_dispatch: int = 8      # block-rows per device dispatch
     # MXU passes for the f32 crosstable matmul: "highest" = 6-pass
     # (full f32), "high" = 3-pass. The one-hot operand is exact in
     # bf16, so "high" splits only the weighted side and is ~f32-exact;
@@ -67,6 +69,10 @@ class EngineConfig:
     # fused Pallas MI kernel (ops/mi_pallas.py): "auto" enables it on
     # TPU when the tile is a multiple of its 128-column block
     use_pallas: str = "auto"   # "auto" | "on" | "off"
+    # Pallas edge-compaction kernel (ops/compact_pallas.py): kept
+    # opt-in until hardware-validated — a Mosaic compile crash aborts
+    # the whole process and cannot be caught
+    use_pallas_compact: str = "off"  # "auto" | "on" | "off"
     verbose: bool = False
 
 
@@ -98,6 +104,7 @@ class SweepStatics:
     compute_dtype: str
     matmul_precision: str = "highest"
     use_pallas: bool = False
+    use_pallas_compact: bool = False
 
     @property
     def cdtype(self):
@@ -152,6 +159,16 @@ def _ceil_to(x: int, m: int) -> int:
 
 def _buf_dtype(st: SweepStatics):
     return jnp.float32 if st.cdtype == jnp.float32 else st.cdtype
+
+
+def effective_row_capacity(st: SweepStatics) -> int:
+    """Usable per-row edge slots: the Pallas compaction kernel's append
+    window clamps CW short of K (compact_pallas.py)."""
+    if st.use_pallas_compact:
+        from spydrpick_tpu.ops.compact_pallas import CW, KMAX
+
+        return min(st.edge_capacity, KMAX) - CW
+    return st.edge_capacity
 
 
 def tile_mi_pair(data: DeviceData, st: SweepStatics, xi_w, xj, i0, j0):
@@ -251,7 +268,11 @@ def row_masks(data: DeviceData, st: SweepStatics, i0):
 
 
 def row_sweep_core(data: DeviceData, st: SweepStatics, i0, threshold):
-    """One block-row: colmax parts + compacted thresholded edges."""
+    """One block-row: colmax parts + compacted thresholded edges.
+
+    Returns (colmax_i (T,), colmax_j (Lp,), vals (K,), wogs (K,),
+    ipos (K,) int32 global, jpos (K,) int32, count).
+    """
     K = st.edge_capacity
     T = st.tile
     mi_buf, wog_buf = row_buffers(data, st, i0)
@@ -262,19 +283,98 @@ def row_sweep_core(data: DeviceData, st: SweepStatics, i0, threshold):
     colmax_i = jnp.max(masked, axis=1)   # (T,) maxima for rows i0..i0+T
     colmax_j = jnp.max(masked, axis=0)   # (Lp,) contributions to j positions
 
+    if st.use_pallas_compact:
+        # streaming Pallas compaction: XLA's cumsum+scatter lowering is
+        # ~50 ms per (512, 8192) row — the dominant sweep cost
+        from spydrpick_tpu.ops.compact_pallas import compact_edges_pallas
+
+        out, count = compact_edges_pallas(
+            mi_buf, wog_buf, i0, threshold, st.L, K
+        )
+        vals = out[0].astype(mi_buf.dtype)
+        wogs = out[1].astype(mi_buf.dtype)
+        jpos = out[2].astype(jnp.int32)
+        ipos = out[3].astype(jnp.int32)
+        return colmax_i, colmax_j, vals, wogs, ipos, jpos, count
+
     store = store_base & (mi_buf > threshold)
     flat_mask = store.reshape(-1)
     pos = jnp.cumsum(flat_mask.astype(jnp.int32))
     count = pos[-1]
     dest = jnp.where(flat_mask, pos - 1, K)  # index K == dropped
-    vals = jnp.zeros(K, mi_buf.dtype).at[dest].set(mi_buf.reshape(-1), mode="drop")
-    wogs = jnp.zeros(K, mi_buf.dtype).at[dest].set(wog_buf.reshape(-1), mode="drop")
+    # one scatter for the flat indices, then gathers for the payloads —
+    # measured 30 ms/row faster than three full-size scatters
     idxs = (
         jnp.zeros(K, jnp.int32)
         .at[dest]
         .set(jnp.arange(T * st.Lp, dtype=jnp.int32), mode="drop")
     )
-    return colmax_i, colmax_j, vals, wogs, idxs, count
+    vals = jnp.take(mi_buf.reshape(-1), idxs)
+    wogs = jnp.take(wog_buf.reshape(-1), idxs)
+    ipos = (i0 + idxs // st.Lp).astype(jnp.int32)
+    jpos = (idxs % st.Lp).astype(jnp.int32)
+    return colmax_i, colmax_j, vals, wogs, ipos, jpos, count
+
+
+def rows_group_core(
+    data: DeviceData,
+    st: SweepStatics,
+    row_starts,            # (G,) int32; -1 entries are skipped padding
+    threshold,
+    colmax,                # (Lp,) carry
+    mi_s, wog_s,           # (cap,) edge stores (device-resident carries)
+    ip_s, jp_s,            # (cap,) int32 position stores
+    offset,                # () int32: next free slot
+    total,                 # () int32: true edge count (overflow detect)
+):
+    """Sweep a group of block-rows, appending edges to device-resident
+    stores — no host transfer per row.  The per-row K-sized compaction
+    window is appended at ``offset``; the garbage tail beyond each
+    row's count is overwritten by the next append, so entries
+    [0, offset) are always valid.  Overflow (total > stored or a row
+    exceeding K) is detected on the host from (total, counts).
+    """
+    T = st.tile
+    K = st.edge_capacity
+    cap = mi_s.shape[0]
+    G = row_starts.shape[0]
+    KE = effective_row_capacity(st)
+
+    def one_row(i0, carry):
+        colmax, mi_s, wog_s, ip_s, jp_s, offset, total = carry
+        colmax_i, colmax_j, vals, wogs, ipos, jpos, count = row_sweep_core(
+            data, st, i0, threshold
+        )
+        colmax = jnp.maximum(colmax, colmax_j)
+        cur = jax.lax.dynamic_slice(colmax, (i0,), (T,))
+        colmax = jax.lax.dynamic_update_slice(
+            colmax, jnp.maximum(cur, colmax_i), (i0,)
+        )
+        off_w = jnp.minimum(offset, cap - K)  # never clobber beyond cap
+        mi_s = jax.lax.dynamic_update_slice(mi_s, vals, (off_w,))
+        wog_s = jax.lax.dynamic_update_slice(wog_s, wogs, (off_w,))
+        ip_s = jax.lax.dynamic_update_slice(ip_s, ipos, (off_w,))
+        jp_s = jax.lax.dynamic_update_slice(jp_s, jpos, (off_w,))
+        n = jnp.minimum(count, KE)
+        offset = off_w + n
+        total = total + count
+        return (colmax, mi_s, wog_s, ip_s, jp_s, offset, total), count
+
+    def body(r, state):
+        carry, counts = state
+        i0 = row_starts[r]
+        new_carry, count = jax.lax.cond(
+            i0 >= 0,
+            lambda c: one_row(i0, c),
+            lambda c: (c, jnp.int32(0)),
+            carry,
+        )
+        return new_carry, counts.at[r].set(count)
+
+    carry = (colmax, mi_s, wog_s, ip_s, jp_s, offset, total)
+    counts0 = jnp.zeros(G, jnp.int32)
+    carry, counts = jax.lax.fori_loop(0, G, body, (carry, counts0))
+    return (*carry, counts)
 
 
 def row_full_core(data: DeviceData, st: SweepStatics, i0):
@@ -327,6 +427,12 @@ def build_device_data(alignment: Alignment, config: EngineConfig) -> tuple[Devic
             and tile % _BI == 0
             and cdtype == jnp.float32
         )
+    if config.use_pallas_compact == "on":
+        use_pallas_compact = True
+    elif config.use_pallas_compact == "off":
+        use_pallas_compact = False
+    else:
+        use_pallas_compact = use_pallas
     n_samples = S
     if use_pallas:
         S = _ceil_to(S, _BS)  # zero sample rows are exact no-ops
@@ -375,6 +481,7 @@ def build_device_data(alignment: Alignment, config: EngineConfig) -> tuple[Devic
         compute_dtype=config.compute_dtype,
         matmul_precision=config.matmul_precision,
         use_pallas=use_pallas,
+        use_pallas_compact=use_pallas_compact,
     )
     return data, statics
 
@@ -395,6 +502,14 @@ class MIEngine:
         self._row_sweep = jax.jit(partial(row_sweep_core, st=st))
         self._row_full = jax.jit(partial(row_full_core, st=st))
         self._pairs_mi = jax.jit(partial(pairs_mi_core, st=st))
+        # device-accumulating group sweep; stores donated so the carry
+        # stays in place across dispatches
+        def _group(data, row_starts, threshold, colmax, mi_s, wog_s, ip_s, jp_s,
+                   offset, total):
+            return rows_group_core(data, st, row_starts, threshold, colmax,
+                                   mi_s, wog_s, ip_s, jp_s, offset, total)
+
+        self._rows_group = jax.jit(_group, donate_argnums=(3, 4, 5, 6, 7, 8, 9))
 
     # ------------------------------------------------------------------ #
     def pair_mi(self, ipos: np.ndarray, jpos: np.ndarray, chunk: int = 8192) -> np.ndarray:
@@ -442,31 +557,84 @@ class MIEngine:
         bd = _buf_dtype(self.statics)
         thr = jnp.asarray(threshold, bd)
 
-        # Pipelined dispatch: enqueue row i+1 before fetching row i so the
-        # device computes while the host converts/extracts (the dispatch
-        # round-trip through the TPU tunnel is ~30 ms).
+        # Device-accumulating group sweep: edges append to device-resident
+        # stores; per group only the (G,) counts vector crosses the slow
+        # host link, with one bulk fetch at the end (per-row fetches of
+        # the K-sized buffers dominated wall time on the TPU tunnel).
+        cap = max(self.config.store_capacity, 2 * K)
+        K_eff = effective_row_capacity(self.statics)
+        G = self.config.rows_per_dispatch
         row_starts = [r for r in range(0, L, T) if r not in done_rows]
-        pending: dict[int, tuple] = {}
 
-        def dispatch(i0):
-            pending[i0] = self._row_sweep(
-                self.data, i0=jnp.asarray(i0, jnp.int32), threshold=thr
-            )
+        colmax_d = jnp.asarray(
+            np.concatenate([colmax, np.full(self.Lp - L, -np.inf)]), bd
+        )
+        mi_s = jnp.zeros(cap, bd)
+        wog_s = jnp.zeros(cap, bd)
+        ip_s = jnp.zeros(cap, jnp.int32)
+        jp_s = jnp.zeros(cap, jnp.int32)
+        offset = jnp.asarray(0, jnp.int32)
+        total = jnp.asarray(0, jnp.int32)
 
-        if row_starts:
-            dispatch(row_starts[0])
-        for ridx, i0 in enumerate(row_starts):
+        overflow_rows: list[int] = []
+        expected_offset = 0
+        groups = [row_starts[g0 : g0 + G] for g0 in range(0, len(row_starts), G)]
+        ck_rows = 0
+        for group in groups:
             t0 = time.perf_counter()
-            if ridx + 1 < len(row_starts):
-                dispatch(row_starts[ridx + 1])
-            ci, cj, vals, wogs, idxs, count = jax.tree.map(
-                np.asarray, pending.pop(i0)
+            padded = group + [-1] * (G - len(group))
+            (colmax_d, mi_s, wog_s, ip_s, jp_s, offset, total, counts) = (
+                self._rows_group(
+                    self.data, jnp.asarray(padded, jnp.int32), thr,
+                    colmax_d, mi_s, wog_s, ip_s, jp_s, offset, total,
+                )
             )
-            n = int(count)
-            if n > K:
-                # capacity overflow: re-run row and extract on host
+            counts_np = np.asarray(counts)  # small fetch; syncs the step
+            for r, i0 in enumerate(group):
+                done_rows.add(i0)
+                n = int(counts_np[r])
+                expected_offset += min(n, K_eff)
+                if n > K_eff:
+                    overflow_rows.append(i0)
+            if progress is not None:
+                progress(group[0], min(group[-1] + T, L),
+                         int(counts_np.sum()), time.perf_counter() - t0)
+            ck_rows += len(group)
+            if checkpoint_path and ck_rows >= checkpoint_every and group is not groups[-1]:
+                ck_rows = 0
+                s_i, s_j, s_m, s_w, s_c = self._fetch_stores(
+                    mi_s, wog_s, ip_s, jp_s, offset, colmax_d
+                )
+                ckpt_mod.save(
+                    checkpoint_path,
+                    ckpt_mod.SweepCheckpoint(
+                        ck_key, done_rows, np.maximum(colmax, s_c),
+                        all_i + [s_i], all_j + [s_j],
+                        all_mi + [s_m], all_wog + [s_w],
+                    ),
+                )
+
+        # device appends clamp at cap-K; expected_offset <= cap-K proves
+        # no append was ever clamped (offsets grow monotonically)
+        if expected_offset > cap - K:
+            raise RuntimeError(
+                f"edge store overflow: {int(total)} edges exceed capacity "
+                f"{cap}; raise --mi-threshold or the engine store_capacity"
+            )
+
+        s_i, s_j, s_m, s_w, s_c = self._fetch_stores(
+            mi_s, wog_s, ip_s, jp_s, offset, colmax_d
+        )
+        colmax = np.maximum(colmax, s_c)
+        if overflow_rows:
+            # rows whose edge count exceeded the per-row window K: their
+            # stored entries are truncated — drop and re-extract on host
+            bad = np.isin((s_i // T) * T, np.asarray(overflow_rows, np.int64))
+            s_i, s_j, s_m, s_w = s_i[~bad], s_j[~bad], s_m[~bad], s_w[~bad]
+            for i0 in overflow_rows:
                 mi_buf, wog_buf, store_base, _ = jax.tree.map(
-                    np.asarray, self._row_full(self.data, i0=jnp.asarray(i0, jnp.int32))
+                    np.asarray,
+                    self._row_full(self.data, i0=jnp.asarray(i0, jnp.int32)),
                 )
                 mask = store_base & (mi_buf > threshold)
                 ii, jj = np.nonzero(mask)
@@ -474,26 +642,10 @@ class MIEngine:
                 all_j.append(jj.astype(np.int64))
                 all_mi.append(mi_buf[mask].astype(np.float64))
                 all_wog.append(wog_buf[mask].astype(np.float64))
-            elif n > 0:
-                flat = idxs[:n]
-                all_i.append(i0 + (flat // self.Lp).astype(np.int64))
-                all_j.append((flat % self.Lp).astype(np.int64))
-                all_mi.append(vals[:n].astype(np.float64))
-                all_wog.append(wogs[:n].astype(np.float64))
-
-            hi = min(i0 + T, L)
-            colmax[i0:hi] = np.maximum(colmax[i0:hi], ci[: hi - i0])
-            colmax = np.maximum(colmax, cj[:L])
-            done_rows.add(i0)
-            if checkpoint_path and (ridx + 1) % checkpoint_every == 0:
-                ckpt_mod.save(
-                    checkpoint_path,
-                    ckpt_mod.SweepCheckpoint(
-                        ck_key, done_rows, colmax, all_i, all_j, all_mi, all_wog
-                    ),
-                )
-            if progress is not None:
-                progress(i0, hi, n, time.perf_counter() - t0)
+        all_i.append(s_i)
+        all_j.append(s_j)
+        all_mi.append(s_m)
+        all_wog.append(s_w)
 
         if checkpoint_path and os.path.exists(checkpoint_path):
             os.unlink(checkpoint_path)  # run completed; stale resume data
@@ -506,3 +658,20 @@ class MIEngine:
             mi_wog=cat(all_wog, np.float64),
             colmax=colmax,
         )
+
+    def _fetch_stores(self, mi_s, wog_s, ip_s, jp_s, offset, colmax_d):
+        """Bulk host fetch of the device edge stores ([:offset]) + colmax.
+
+        The Pallas compaction path leaves zeroed 128-alignment holes in
+        the store; real edges always satisfy jpos > ipos while holes are
+        (0, 0), so that inequality filters them exactly (and is a no-op
+        for the XLA path)."""
+        off = int(offset)
+        L = self.L
+        s_i = np.asarray(ip_s[:off], dtype=np.int64)
+        s_j = np.asarray(jp_s[:off], dtype=np.int64)
+        s_m = np.asarray(mi_s[:off], dtype=np.float64)
+        s_w = np.asarray(wog_s[:off], dtype=np.float64)
+        keep = s_j > s_i
+        return (s_i[keep], s_j[keep], s_m[keep], s_w[keep],
+                np.asarray(colmax_d[:L], dtype=np.float64))

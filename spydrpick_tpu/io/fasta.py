@@ -5,9 +5,11 @@ Replaces the role of apegrunt's FASTA parser (consumed via
 (reference README.md:42): case-insensitive; A/C/G/T are four
 categories, every other symbol maps to the gap category.
 
-The parser is vectorised NumPy over the raw file bytes: it locates
-record boundaries with a single scan and decodes all sequence bytes
-through a 256-entry lookup table — no per-character Python loop.
+Two parser backends, same semantics:
+  * native: mmap + OpenMP C++ (spydrpick_tpu/native/fasta.cpp),
+    used when the toolchain is available — GB-scale inputs;
+  * NumPy: vectorised over the raw bytes (record split + 256-entry
+    LUT decode, no per-character Python loop) as a fallback.
 """
 
 from __future__ import annotations
@@ -19,6 +21,45 @@ import numpy as np
 
 from spydrpick_tpu.core.alignment import Alignment
 from spydrpick_tpu.core.alphabet import decode_codes, encode_bytes
+
+
+def _native_parser():
+    """The native parse function, or None if the toolchain is missing."""
+    try:
+        from spydrpick_tpu.native import fasta_native
+
+        fasta_native._load()
+        return fasta_native.parse
+    except Exception:
+        return None
+
+
+def _numpy_parse(path: pathlib.Path) -> tuple[np.ndarray, list[str]]:
+    raw = path.read_bytes()
+    if not raw.strip():
+        raise ValueError(f"{path}: empty FASTA file")
+    names: list[str] = []
+    seqs: list[np.ndarray] = []
+    # Split on '>' record starts. Records are header line + sequence lines.
+    for chunk in raw.split(b">"):
+        if not chunk.strip():
+            continue
+        nl = chunk.find(b"\n")
+        if nl < 0:
+            raise ValueError(f"{path}: malformed FASTA record (no sequence)")
+        header = chunk[:nl].strip().decode("utf-8", errors="replace")
+        body = chunk[nl + 1 :]
+        arr = np.frombuffer(body, dtype=np.uint8)
+        # drop whitespace bytes (\n \r \t space)
+        keep = (arr != 0x0A) & (arr != 0x0D) & (arr != 0x09) & (arr != 0x20)
+        names.append(header.split()[0] if header else f"seq{len(names)}")
+        seqs.append(encode_bytes(arr[keep]))
+    if not seqs:
+        raise ValueError(f"{path}: no sequences found")
+    widths = {len(s) for s in seqs}
+    if len(widths) != 1:
+        raise ValueError(f"{path}: unaligned sequences (widths {sorted(widths)})")
+    return np.vstack(seqs), names
 
 
 def read_fasta(
@@ -33,34 +74,12 @@ def read_fasta(
     ``genome_size``: optional explicit genome size (``--genome-size``).
     """
     path = pathlib.Path(path)
-    raw = path.read_bytes()
-    if not raw.strip():
-        raise ValueError(f"{path}: empty FASTA file")
-
-    names: list[str] = []
-    seqs: list[np.ndarray] = []
-    # Split on '>' record starts. Records are header line + sequence lines.
-    chunks = raw.split(b">")
-    for chunk in chunks:
-        if not chunk.strip():
-            continue
-        nl = chunk.find(b"\n")
-        if nl < 0:
-            raise ValueError(f"{path}: malformed FASTA record (no sequence)")
-        header = chunk[:nl].strip().decode("utf-8", errors="replace")
-        body = chunk[nl + 1 :]
-        arr = np.frombuffer(body, dtype=np.uint8)
-        # drop whitespace bytes (\n \r \t space)
-        keep = (arr != 0x0A) & (arr != 0x0D) & (arr != 0x09) & (arr != 0x20)
-        names.append(header.split()[0] if header else f"seq{len(names)}")
-        seqs.append(encode_bytes(arr[keep]))
-
-    if not seqs:
-        raise ValueError(f"{path}: no sequences found")
-    widths = {len(s) for s in seqs}
-    if len(widths) != 1:
-        raise ValueError(f"{path}: unaligned sequences (widths {sorted(widths)})")
-    codes = np.vstack(seqs)
+    native = _native_parser()
+    if native is not None:
+        codes, names = native(path)
+        names = [n if n else f"seq{k}" for k, n in enumerate(names)]
+    else:
+        codes, names = _numpy_parse(path)
     n_loci = codes.shape[1]
 
     if mappings is not None:

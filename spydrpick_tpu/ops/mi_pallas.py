@@ -39,7 +39,7 @@ from spydrpick_tpu.core.alphabet import N_STATES
 
 BI = 128   # i-columns per block
 BJ = 128   # j-columns per block
-BS = 512   # samples per accumulation step
+BS = 256   # samples per accumulation step (keeps VMEM demand in budget)
 
 
 def _group_indicator(n_cols: int, dtype):
@@ -53,31 +53,53 @@ def _ln_pos(x):
     return jnp.log(jnp.where(x > 0, x, 1.0))
 
 
+def _rowsum5(x):
+    """(n*5, m) -> (n, m) group sum over the major axis — exact f32 VPU
+    adds, and the reshape is layout-free (splits the major dimension)."""
+    n5, m = x.shape
+    return x.reshape(n5 // N_STATES, N_STATES, m).sum(axis=1)
+
+
+def _split_dot(x, M):
+    """x(f32) @ M(bf16 0/1): two DEFAULT-precision MXU passes via a
+    bf16 hi/lo split of x — the 0/1 operand is exact, so accuracy is
+    ~2^-16 relative at 1/3 the passes of a HIGHEST f32 dot (which also
+    blew the scoped-VMEM budget)."""
+    xh = x.astype(jnp.bfloat16)
+    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+    d = lambda u: jax.lax.dot_general(
+        u, M, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return d(xh) + d(xl)
+
+
 def _mi_from_block(C, ipf, jpf, pc):
-    """(BI, BJ) MI from a (BI*5, BJ*5) crosstable block in registers."""
+    """(BI, BJ) MI from a (BI*5, BJ*5) crosstable block in registers.
+
+    Group reductions over i-states (major axis) are exact reshape-sums;
+    reductions over j-states (minor axis) are split-dots against the
+    jp-masked 0/1 group indicator.
+    """
     f32 = jnp.float32
-    G = _group_indicator(BI, f32)          # (640, 128); BI == BJ assumed
-    Mi = G * ipf[:, None]                  # presence-masked indicators
-    Mj = G * jpf[:, None]
+    Mj = (_group_indicator(BJ, f32) * jpf[:, None]).astype(jnp.bfloat16)
 
     pm = ipf[:, None] * jpf[None, :]
     A = C + pc * pm
     lnA = _ln_pos(A)
 
-    dot = functools.partial(jax.lax.dot_general, preferred_element_type=f32)
-    mm = lambda x, y: dot(x, y, dimension_numbers=(((1,), (0,)), ((), ())))
-    mmT = lambda x, y: dot(x, y, dimension_numbers=(((0,), (0,)), ((), ())))
-
-    B = mm(A, Mj)                          # (640, 128) masked col sums
-    Z = mmT(Mi, B)                         # (128, 128)
-    G1 = mmT(Mi, mm(A * lnA, Mj))          # sum pm*A*lnA
+    B = _split_dot(A, Mj)                  # (640, 128) masked col sums
+    T1 = _split_dot(A * lnA, Mj)
+    ipc = ipf[:, None]
+    Z = _rowsum5(B * ipc)                  # (128, 128)
+    G1 = _rowsum5(T1 * ipc)                # sum pm*A*lnA
     lnB = _ln_pos(B)
-    Gj_ = mmT(Mi, B * lnB)                 # i-marginal entropy numerator
+    Gj_ = _rowsum5(B * lnB * ipc)          # i-marginal entropy numerator
     # j-marginal uses the FULL row sum over all i-states (mi.hpp:173)
-    R = mmT(G, A)                          # (128, 640) unmasked row sums
+    R = _rowsum5(A)                        # (128, 640) unmasked row sums
     lnR = _ln_pos(R)
-    Gi_ = mm(R * lnR, Mj)                  # (128, 128)
-    Si_ = mm(R, Mj)
+    Gi_ = _split_dot(R * lnR, Mj)          # (128, 128)
+    Si_ = _split_dot(R, Mj)
 
     invZ = 1.0 / jnp.maximum(Z, jnp.finfo(f32).tiny)
     lnZ = _ln_pos(Z)
@@ -167,6 +189,11 @@ def mi_tile_pallas(
         scratch_shapes=[
             pltpu.VMEM((BI * N_STATES, BJ * N_STATES), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # the entropy stage's HIGHEST-precision dots need more scoped
+            # VMEM than the 16MB default (measured 18.4MB)
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(
         xi_hi, xi_lo, xj,

@@ -78,11 +78,12 @@ def make_sharded_row_step(mesh: Mesh, st: SweepStatics):
         smap,
         mesh=mesh,
         in_specs=(data_specs, P("rows"), P()),
-        out_specs=(P("rows"), P(), P("rows"), P("rows"), P("rows"), P("rows")),
+        out_specs=(P("rows"), P(), P("rows"), P("rows"), P("rows"),
+                   P("rows"), P("rows")),
     )
     def step(data, row_starts, threshold):
         i0 = row_starts[0]  # one row per device in this batch
-        colmax_i, colmax_j, vals, wogs, idxs, count = row_sweep_core(
+        colmax_i, colmax_j, vals, wogs, ipos, jpos, count = row_sweep_core(
             data, st, i0, threshold
         )
         # the analogue of maxvaltracker::join (mi.hpp:256-265):
@@ -92,7 +93,8 @@ def make_sharded_row_step(mesh: Mesh, st: SweepStatics):
             colmax_j,
             vals[None],
             wogs[None],
-            idxs[None],
+            ipos[None],
+            jpos[None],
             count[None],
         )
 
@@ -122,7 +124,10 @@ def sharded_sweep(engine: MIEngine, threshold: float, mesh: Mesh | None = None,
     n_dev = mesh.devices.size
     step = make_sharded_row_step(mesh, st)
 
+    from spydrpick_tpu.engine.solver import effective_row_capacity
+
     L, T, K = st.L, st.tile, st.edge_capacity
+    K_eff = effective_row_capacity(st)
     n_rows = -(-L // T)
     order = balanced_row_order(n_rows)
     # pad to a multiple of n_dev by repeating the last row (dropped later)
@@ -138,7 +143,7 @@ def sharded_sweep(engine: MIEngine, threshold: float, mesh: Mesh | None = None,
     for b0 in range(0, len(order), n_dev):
         batch = order[b0 : b0 + n_dev]
         row_starts = jnp.asarray([r * T for r in batch], jnp.int32)
-        ci, cj, vals, wogs, idxs, counts = jax.tree.map(
+        ci, cj, vals, wogs, ipos_a, jpos_a, counts = jax.tree.map(
             np.asarray, step(engine.data, row_starts, thr)
         )
         colmax = np.maximum(colmax, cj[:L])
@@ -150,7 +155,7 @@ def sharded_sweep(engine: MIEngine, threshold: float, mesh: Mesh | None = None,
             hi = min(i0 + T, L)
             colmax[i0:hi] = np.maximum(colmax[i0:hi], ci[d, : hi - i0])
             n = int(counts[d])
-            if n > K:
+            if n > K_eff:
                 # overflow: fall back to the single-device full-row path
                 mi_buf, wog_buf, store_base, _ = jax.tree.map(
                     np.asarray, engine._row_full(engine.data, i0=jnp.asarray(i0, jnp.int32))
@@ -162,9 +167,8 @@ def sharded_sweep(engine: MIEngine, threshold: float, mesh: Mesh | None = None,
                 all_mi.append(mi_buf[mask].astype(np.float64))
                 all_wog.append(wog_buf[mask].astype(np.float64))
             elif n > 0:
-                flat = idxs[d, :n]
-                all_i.append(i0 + (flat // st.Lp).astype(np.int64))
-                all_j.append((flat % st.Lp).astype(np.int64))
+                all_i.append(ipos_a[d, :n].astype(np.int64))
+                all_j.append(jpos_a[d, :n].astype(np.int64))
                 all_mi.append(vals[d, :n].astype(np.float64))
                 all_wog.append(wogs[d, :n].astype(np.float64))
             if progress is not None:

@@ -86,6 +86,8 @@ class PipelineOptions:
     output_dir: str = "."
     checkpoint: str | None = None       # sweep checkpoint file (resume support)
     checkpoint_every: int = 16
+    profile_dir: str | None = None      # jax.profiler trace output dir
+    sharded: bool = False               # multi-device sharded sweep
 
 
 @dataclasses.dataclass
@@ -215,12 +217,29 @@ def run_pipeline(opts: PipelineOptions, write_outputs: bool = True) -> PipelineR
     def progress(lo, hi, n_new, dt):
         _log(opts, f"  {lo + 1}-{hi} / {alignment.n_loci} ({n_new} new edges) time={dt:.3f}s")
 
-    edges = engine.sweep(
-        mi_threshold,
-        progress=progress if opts.verbose else None,
-        checkpoint_path=opts.checkpoint,
-        checkpoint_every=opts.checkpoint_every,
-    )
+    from spydrpick_tpu.utils.profiling import profile_trace
+
+    with profile_trace(opts.profile_dir):
+        if opts.sharded:
+            import jax
+
+            from spydrpick_tpu.parallel.mesh import sharded_sweep
+
+            if len(jax.devices()) > 1:
+                edges = sharded_sweep(
+                    engine, mi_threshold,
+                    progress=progress if opts.verbose else None,
+                )
+            else:
+                _log(opts, "only one device visible; using single-device sweep")
+                opts.sharded = False
+        if not opts.sharded:
+            edges = engine.sweep(
+                mi_threshold,
+                progress=progress if opts.verbose else None,
+                checkpoint_path=opts.checkpoint,
+                checkpoint_every=opts.checkpoint_every,
+            )
     _log(opts, f"{edges.n_edges} edges stored")
 
     outlier_thr, extreme_thr = outlier_thresholds(edges.colmax)

@@ -46,15 +46,14 @@ def test_sweep_resume_matches_clean_run(tmp_path):
     import jax.numpy as jnp
 
     for i0 in partial_rows:
-        ci, cj, vals, wogs, idxs, count = jax.tree.map(
+        ci, cj, vals, wogs, ipos, jpos, count = jax.tree.map(
             np.asarray,
             engine._row_sweep(engine.data, i0=jnp.asarray(i0, jnp.int32),
                               threshold=jnp.asarray(0.02, jnp.float32)),
         )
         n = int(count)
-        flat = idxs[:n]
-        all_i.append(i0 + (flat // engine.Lp).astype(np.int64))
-        all_j.append((flat % engine.Lp).astype(np.int64))
+        all_i.append(ipos[:n].astype(np.int64))
+        all_j.append(jpos[:n].astype(np.int64))
         all_mi.append(vals[:n].astype(np.float64))
         all_wog.append(wogs[:n].astype(np.float64))
         hi = min(i0 + 8, al.n_loci)

@@ -137,3 +137,14 @@ def test_quartiles_and_tukey():
     out, ext = outlier_thresholds(colmax)
     assert out == 75 + 1.5 * 50
     assert ext == 75 + 3.0 * 50
+
+
+def test_store_capacity_overflow_raises():
+    from spydrpick_tpu.engine.solver import EngineConfig, MIEngine
+    import pytest as _pytest
+
+    al = random_alignment(n_samples=30, n_loci=64, seed=99)
+    eng = MIEngine(al, EngineConfig(tile=16, edge_capacity=64,
+                                    store_capacity=128))
+    with _pytest.raises(RuntimeError, match="overflow"):
+        eng.sweep(-1.0)  # stores everything: 2016 pairs >> 128

@@ -9,10 +9,15 @@ from spydrpick_tpu.ops.mi_pallas import BI
 from tests.conftest import random_alignment
 
 
-def test_pallas_sweep_matches_xla_path():
+@pytest.mark.parametrize("compact", ["off", "on"])
+def test_pallas_sweep_matches_xla_path(compact):
     al = random_alignment(n_samples=40, n_loci=2 * BI, seed=60, gap_frac=0.15)
     xla = MIEngine(al, EngineConfig(tile=BI, use_pallas="off")).sweep(0.05).sort_desc()
-    pls = MIEngine(al, EngineConfig(tile=BI, use_pallas="on")).sweep(0.05).sort_desc()
+    pls = (
+        MIEngine(al, EngineConfig(tile=BI, use_pallas="on", use_pallas_compact=compact))
+        .sweep(0.05)
+        .sort_desc()
+    )
     # bf16 hi/lo split tolerance near the threshold boundary
     assert abs(xla.n_edges - pls.n_edges) <= max(2, xla.n_edges // 200)
     both = set(zip(xla.ipos, xla.jpos)) & set(zip(pls.ipos, pls.jpos))
