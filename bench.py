@@ -1,21 +1,23 @@
-"""Benchmark: MI-kernel column-pair throughput on one chip.
+"""Benchmark: all-pairs MI sweep throughput on one chip.
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
 Config: the BASELINE.md "medium" shape (~3k samples x ~30k filtered
-columns).  The metric is column-pairs/s through the full sweep path
-(crosstable matmul + both MI variants + colmax + edge compaction).
+columns), overridable via BENCH_SAMPLES / BENCH_LOCI / BENCH_TILE.
+The metric is column-pairs/s through the REAL production sweep
+(crosstable matmuls + dual-variant entropy + colmax + on-device edge
+store) at a threshold retaining ~100*L edges — the reference's
+auto-threshold target (src/SpydrPick.cpp:338-339).
 
 vs_baseline: the reference repo publishes no numbers (BASELINE.md), so
-the denominator is the BASELINE.json north-star floor for a 64-core
-AVX2 CPU node running the reference binary, estimated at 3e7
-column-pairs/s: the reference's inner loop touches every sample's
-state pair per column pair through its block-compressed crosstable
-(~S*25-wide SIMD ops per pair, mi.hpp:126-181); at S=3000 that is
-~1.5e3 effective FLOP/pair after compression wins, and a 64-core AVX2
-node sustains ~5e10 useful FLOP/s on this access pattern.
-vs_baseline >= 10 meets the north-star "10x a 64-core CPU node".
+the denominator is an estimate of the reference binary on a 64-core
+AVX2 node: its inner loop is a weighted 5x5 crosstable accumulation
+plus 25-element entropy math per pair (include/mi.hpp:126-181) over
+block-compressed columns; at S=3000 that is ~10^3-10^4 effective ops
+per pair after compression, giving ~10^7-10^8 pairs/s on 64 cores. We
+use 3e7 pairs/s. vs_baseline >= 10 meets the north-star "10x a
+64-core CPU node".
 """
 
 import json
@@ -30,21 +32,18 @@ BASELINE_CPU_PAIRS_PER_S = 3.0e7
 
 def main():
     import jax
-    import jax.numpy as jnp
 
-    from spydrpick_tpu.engine.solver import EngineConfig, MIEngine, row_sweep_core
-    from tests.conftest import random_alignment
+    from spydrpick_tpu.core.alignment import Alignment
+    from spydrpick_tpu.engine.solver import EngineConfig, MIEngine
 
     S = int(os.environ.get("BENCH_SAMPLES", 3000))
     L = int(os.environ.get("BENCH_LOCI", 30720))
     tile = int(os.environ.get("BENCH_TILE", 512))
+    compact = os.environ.get("BENCH_PALLAS_COMPACT", "auto")
 
     rng = np.random.default_rng(0)
-    from spydrpick_tpu.core.alignment import Alignment
-
     codes = rng.integers(0, 4, size=(S, L)).astype(np.uint8)
-    gaps = rng.random((S, L)) < 0.05
-    codes[gaps] = 4
+    codes[rng.random((S, L)) < 0.05] = 4
     al = Alignment(
         codes=codes,
         sample_names=[f"s{i}" for i in range(S)],
@@ -53,42 +52,43 @@ def main():
         n_original_positions=L,
         weights=rng.random(S) * 0.9 + 0.1,
     )
-    engine = MIEngine(al, EngineConfig(tile=tile, edge_capacity=1 << 19))
+    engine = MIEngine(
+        al,
+        EngineConfig(tile=tile, use_pallas_compact=compact),
+    )
 
-    thr = jnp.asarray(10.0, jnp.float32)  # store ~nothing: kernel-bound
+    # threshold retaining ~100*L of the L^2/2 pairs, estimated from a
+    # sample (the production tournament does the same, SpydrPick.hpp:284)
+    ii = rng.integers(0, L, 20000)
+    jj = rng.integers(0, L, 20000)
+    keep = ii != jj
+    sample = engine.pair_mi(np.minimum(ii, jj)[keep], np.maximum(ii, jj)[keep])
+    target_frac = min(1.0, (100 * L) / (L * (L - 1) / 2))
+    threshold = float(np.quantile(sample, 1 - target_frac))
 
-    def run_row(i0):
-        out = engine._row_sweep(engine.data, i0=jnp.asarray(i0, jnp.int32), threshold=thr)
-        # force completion with a host fetch: block_until_ready is not a
-        # reliable sync on the tunneled TPU platform (measured)
-        return float(out[6])
-
-    run_row(0)  # warmup / compile
-
-    # measure a representative set of block-rows (cost varies linearly
-    # with row index; sample evenly and scale)
-    n_rows = -(-L // tile)
-    sample_rows = list(range(0, n_rows, max(1, n_rows // 16)))
-    pairs_done = 0
     t0 = time.perf_counter()
-    for r in sample_rows:
-        i0 = r * tile
-        run_row(i0)
-        rows_here = min(tile, L - i0)
-        # pairs computed in this row: full tiles j >= row r
-        cols = L - (i0 // tile) * tile
-        pairs_done += rows_here * cols - rows_here * (rows_here + 1) // 2
+    edges = engine.sweep(threshold)
+    compile_and_run = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    edges = engine.sweep(threshold)
     dt = time.perf_counter() - t0
 
-    pairs_per_s = pairs_done / dt
+    pairs = L * (L - 1) / 2
+    pairs_per_s = pairs / dt
     result = {
         "metric": "mi_column_pairs_per_s",
         "value": round(pairs_per_s, 1),
         "unit": "column-pairs/s/chip",
         "vs_baseline": round(pairs_per_s / BASELINE_CPU_PAIRS_PER_S, 3),
-        "config": {"samples": S, "loci": L, "tile": tile,
-                   "backend": jax.default_backend(),
-                   "sampled_rows": len(sample_rows), "seconds": round(dt, 3)},
+        "config": {
+            "samples": S, "loci": L, "tile": tile,
+            "backend": jax.default_backend(),
+            "threshold": round(threshold, 6),
+            "edges": int(edges.n_edges),
+            "sweep_seconds": round(dt, 3),
+            "first_run_seconds": round(compile_and_run, 3),
+        },
     }
     print(json.dumps(result))
 

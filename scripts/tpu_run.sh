@@ -52,9 +52,10 @@ for attempt in 1 2 3 4 5 6; do
     exit $rc
   fi
 
-  echo "tpu_run: stalled (attempt $attempt); killing $pid, cooling down 45s" >&2
+  cooldown=$((30 * attempt + 15))  # backoff: rapid reconnects worsen wedging
+  echo "tpu_run: stalled (attempt $attempt); killing $pid, cooling down ${cooldown}s" >&2
   kill -9 "$pid" 2>/dev/null
-  sleep 45
+  sleep "$cooldown"
 done
 echo "tpu_run: giving up after 6 attempts; last log:" >&2
 cat "$LOG" >&2

@@ -1,4 +1,4 @@
-"""Pallas streaming edge-compaction kernel.
+"""Pallas streaming edge-compaction (two-phase, chain-free).
 
 Extracts {ipos, jpos, mi, mi_wog} of entries with ``mi > threshold``
 (upper triangle, valid range) from the (T, Lp) MI row buffers into a
@@ -6,19 +6,34 @@ dense K-capacity buffer — the static-shape replacement for the
 reference's dynamic ``Graph::add`` under lock (mi.hpp:411-463).
 
 Why a kernel: XLA lowers this to flat cumsum + scatter, measured at
-~50 ms per (512, 8192) row on a v5e — 300x off memory speed, and the
-dominant cost of the whole sweep.  Here the buffers stream through
-VMEM once; compacted segments append to a VMEM staging buffer at an
-SMEM offset cursor, with empty chunks skipped by predication, and one
-bulk DMA... (the staging buffer IS the pallas output block, written
-once per grid step via the normal pipeline).
+~50 ms per (512, 8192) row on a v5e — 300x off memory speed and the
+dominant cost of the whole sweep.
 
-Local compaction trick: a chunk's masked elements are gathered by a
-one-hot permutation matmul — ``P[s, d] = mask[s] & (prefix[s]-1 == d)``
-and ``out = vals @ P`` — turning a scatter into an MXU op.
+Two phases:
+  1. XLA: per chunk-row (a (1, CW) strip) edge counts, 128-aligned
+     exclusive-scan offsets (cheap: ~T*Lp/CW elements);
+  2. Pallas: re-reads the buffers and writes each non-empty chunk-row's
+     compacted segment at its precomputed offset.  No cross-grid-step
+     state — a previous single-pass design carried the append cursor in
+     SMEM, and the resulting serial chain capped throughput at
+     ~150M elem/s regardless of block size.
 
-All four payloads ride one (4, CW) matmul: [mi, wog, jpos, flags].
-Positions are exact in f32 (Lp < 2^24).
+Local compaction trick: a chunk's masked elements are gathered with a
+transposed one-hot permutation matmul — ``Pt[d, s] = (dest[s] == d)``
+and ``out = payload @ Pt^T-contract`` — turning a scatter into an MXU
+op.  All four payload rows ride one matmul via a 3-way bf16 split
+(exact for integers < 2^24; ~2^-24 relative for MI values).
+
+Segments start 128-aligned (Mosaic vector-store constraint), so the
+output contains exact-zero holes; real edges always have jpos > ipos,
+which filters them.  Capacity demand is
+``sum over non-empty chunk-rows of ceil128(count)``.
+
+Mosaic pitfalls encoded here (each crashed or miscompiled otherwise):
+concatenate/broadcast of (1, CW) operands (use full-tile rolls),
+cumsum (Hillis-Steele lane rolls), dynamic_slice on values (static
+unroll), f32 HIGHEST dots (bf16 split), unaligned vector stores
+(pl.multiple_of + aligned offsets).
 """
 
 from __future__ import annotations
@@ -44,114 +59,95 @@ def _chunk_width(Lp: int) -> int:
     raise ValueError(f"Lp={Lp} not a multiple of 128")
 
 
-def _kernel(i0_ref, thr_ref, mi_ref, wog_ref, out_ref, cnt_ref, off_sm, cnt_sm,
-            *, T, Lp, L, K, CW, INTERPRET):
+def _masks(mi_buf, i0, threshold, L):
+    T, Lp = mi_buf.shape
+    j_glob = jax.lax.broadcasted_iota(jnp.int32, (T, Lp), 1)
+    i_glob = i0 + jax.lax.broadcasted_iota(jnp.int32, (T, Lp), 0)
+    return (mi_buf > threshold) & (j_glob > i_glob) & (j_glob < L) & (i_glob < L)
+
+
+def _kernel(offs_ref, i0_ref, thr_ref, zeros_ref, mi_ref, wog_ref, out_ref,
+            stage, sem, *, T, Lp, L, K, CW, nbj, INTERPRET):
     bi = pl.program_id(0)
     bj = pl.program_id(1)
-    nbi = pl.num_programs(0)
-    nbj = pl.num_programs(1)
 
-    @pl.when((bi == 0) & (bj == 0))
-    def _():
-        off_sm[0] = 0
-        cnt_sm[0] = 0
-        out_ref[...] = jnp.zeros_like(out_ref)
-
-    i0 = i0_ref[0]
-    thr = thr_ref[0]
     mi = mi_ref[:]     # (SUB, CW)
     wog = wog_ref[:]
+    i0v = i0_ref[0]
+    thr = thr_ref[0]
 
     j_glob = (bj * CW + jax.lax.broadcasted_iota(jnp.int32, (SUB, CW), 1))
-    i_glob = i0 + bi * SUB + jax.lax.broadcasted_iota(jnp.int32, (SUB, CW), 0)
+    i_glob = i0v + bi * SUB + jax.lax.broadcasted_iota(jnp.int32, (SUB, CW), 0)
     mask = (mi > thr) & (j_glob > i_glob) & (j_glob < L) & (i_glob < L)
 
-    # static row index: unrolled below (Mosaic lacks dynamic_slice on
-    # values, and SUB=8 unrolls cheaply)
-    row1 = lambda x, r: x[r : r + 1, :]  # (1, CW)
-
+    rid = jax.lax.broadcasted_iota(jnp.int32, (SUB, CW), 0)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (SUB, CW), 1)
+    roll = jnp.roll if INTERPRET else pltpu.roll
+    row1 = lambda x, r: x[r : r + 1, :]
 
     def _prefix_sum(x):
-        """Inclusive scan over axis 1 of (SUB, CW) (Mosaic has no cumsum
-        primitive): Hillis-Steele with lane rolls, log2(CW) steps.
-        Operating on the full (8, CW) tile keeps Mosaic's sublane shape
-        happy (a (1, CW) roll crashed the compiler)."""
         s = x
         sh = 1
         while sh < CW:
-            rolled = (jnp.roll if INTERPRET else pltpu.roll)(s, sh, axis=1)
-            s = s + jnp.where(col_iota >= sh, rolled, 0)
+            s = s + jnp.where(col_iota >= sh, roll(s, sh, axis=1), 0)
             sh *= 2
         return s
 
-    prefix_all = _prefix_sum(mask.astype(jnp.int32))       # (SUB, CW)
-    dest_all = jnp.where(mask, prefix_all - 1, CW)         # CW == dropped
-    counts = jnp.sum(mask.astype(jnp.int32), axis=1, keepdims=True)  # (SUB, 1)
+    NK = T * nbj
 
-    def sub_row(r):
-        row_mask = row1(mask, r)
-        cnt = counts[r, 0]
+    def _sub_row(r, dest_all, mi_m, wog_m, j_f, i_f):
+        # scalar-prefetch count: predicating the DMA on a value derived
+        # from vector memory lost writes on hardware
+        kk = (bi * SUB + r) * nbj + bj
+        cnt = offs_ref[NK + kk]
 
         @pl.when(cnt > 0)
         def _():
             dest = row1(dest_all, r)
-            # transposed one-hot: Pt[d, s] = (dest[s] == d) — built by
-            # broadcasting along sublanes, no lane->sublane relayout
             d_iota = jax.lax.broadcasted_iota(jnp.int32, (CW, CW), 0)
             Pt = (jnp.broadcast_to(dest, (CW, CW)) == d_iota).astype(jnp.bfloat16)
-            # zero out unmasked entries: the buffers hold -inf outside
-            # the computed region and -inf * 0 = NaN in the matmul
-            # padded to 8 rows: Mosaic sub-tile stores need the
-            # sublane dimension at the full 8 (a (4, CW) store crashed
-            # the compiler)
-            # (8, CW) payload without concatenate (Mosaic's concat of
-            # (1, CW) pieces crashed the compiler): broadcast each row
-            # and select by sublane index
-            rid = jax.lax.broadcasted_iota(jnp.int32, (SUB, CW), 0)
-            bc = lambda x: jnp.broadcast_to(x, (SUB, CW))
             payload = (
-                jnp.where(rid == 0, bc(jnp.where(row_mask, row1(mi, r), 0.0)), 0.0)
-                + jnp.where(rid == 1, bc(jnp.where(row_mask, row1(wog, r), 0.0)), 0.0)
-                + jnp.where(rid == 2, bc(row1(j_glob, r).astype(jnp.float32)), 0.0)
-                + jnp.where(rid == 3, bc(row1(i_glob, r).astype(jnp.float32)), 0.0)
-            )  # (8, CW)
-            # 3-way bf16 split: Mosaic crashes on an f32xbf16 HIGHEST dot
-            # here; three DEFAULT-precision bf16 dots are exact for
-            # integers < 2^24 (the position rows) and ~2^-24 relative
-            # for the MI rows
-            p1 = payload.astype(jnp.bfloat16)
+                jnp.where(rid == 0, roll(mi_m, -r % SUB, axis=0), 0.0)
+                + jnp.where(rid == 1, roll(wog_m, (1 - r) % SUB, axis=0), 0.0)
+                + jnp.where(rid == 2, roll(j_f, (2 - r) % SUB, axis=0), 0.0)
+                + jnp.where(rid == 3, roll(i_f, (3 - r) % SUB, axis=0), 0.0)
+            )
+            guard = jax.lax.optimization_barrier if INTERPRET else (lambda x: x)
+            p1 = guard(payload.astype(jnp.bfloat16))
             r1 = payload - p1.astype(jnp.float32)
-            p2 = r1.astype(jnp.bfloat16)
+            p2 = guard(r1.astype(jnp.bfloat16))
             p3 = (r1 - p2.astype(jnp.float32)).astype(jnp.bfloat16)
             d = lambda x: jax.lax.dot_general(
                 x, Pt, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            compacted = d(p1) + d(p2) + d(p3)  # (8, CW); cols beyond cnt zero
-            # Mosaic vector stores need 128-aligned starts: the cursor is
-            # kept 128-aligned, so segments are zero-padded ("holes") up
-            # to the next alignment boundary — compacted columns beyond
-            # cnt are exact zeros and the host filters mi > threshold.
-            off = pl.multiple_of(jnp.minimum(off_sm[0], K - CW), 128)
-            if INTERPRET:
-                # the interpreter rejects traced slice starts; a full
-                # read-modify-write is fine for CPU emulation
-                out_ref[...] = jax.lax.dynamic_update_slice(
-                    out_ref[...], compacted, (0, off)
-                )
-            else:
-                out_ref[:, pl.dslice(off, CW)] = compacted
-            off_sm[0] = ((off + cnt + 127) // 128) * 128
-            cnt_sm[0] = cnt_sm[0] + cnt
+            compacted = (d(p1) + d(p2) + d(p3))[0:8, :]
+            # precomputed, 128-aligned, clamped segment offset; the
+            # output lives in HBM (zeros-aliased input) and each
+            # segment is DMA'd directly — a VMEM-resident revisited
+            # output block gets double-buffer-copied (8 MB) every grid
+            # step, which both cost ~30 ms/row and lost writes
+            off_w = pl.multiple_of(jnp.minimum(offs_ref[kk], K - CW), 128)
+            # per-sub-row stage slot + semaphore: sharing one buffer
+            # across the unrolled predicated DMAs lost every write but
+            # the first within a grid step (observed on hardware)
+            stage[r] = compacted
+            copy = pltpu.make_async_copy(
+                stage.at[r], out_ref.at[:, pl.dslice(off_w, CW)], sem.at[r]
+            )
+            copy.start()
+            copy.wait()
 
+    # NOTE: no outer block-level pl.when — nesting the per-row
+    # predicated DMA under a second predicate lost writes on hardware
+    prefix_all = _prefix_sum(mask.astype(jnp.int32))
+    dest_all = jnp.where(mask, prefix_all - 1, CW)
+    mi_m = jnp.where(mask, mi, 0.0)
+    wog_m = jnp.where(mask, wog, 0.0)
+    j_f = j_glob.astype(jnp.float32)
+    i_f = i_glob.astype(jnp.float32)
     for r in range(SUB):
-        sub_row(r)
-
-    @pl.when((bi == nbi - 1) & (bj == nbj - 1))
-    def _():
-        cnt_ref[0] = off_sm[0]   # valid extent of the output buffer
-        cnt_ref[1] = cnt_sm[0]   # true edge count (diagnostics)
+        _sub_row(r, dest_all, mi_m, wog_m, j_f, i_f)
 
 
 def compact_edges_pallas(
@@ -163,11 +159,14 @@ def compact_edges_pallas(
     K: int,
     interpret: bool | None = None,
 ):
-    """Returns (out (4, K) f32 rows [mi, wog, jpos, ipos], extent int32).
+    """Returns (out (8, K) f32; rows 0-3 are [mi, wog, jpos, ipos],
+    extent int32).
 
     Valid entries live in [:, :extent] interleaved with exact-zero
-    alignment holes — callers must filter ``mi > threshold``.  Per-row
-    overflow is detected via extent > usable capacity.
+    alignment holes (filter ``jpos > ipos``).  Overflow is detected via
+    extent > usable capacity; at very high edge density prefer the XLA
+    compaction path (capacity demand ~128 slots per non-empty (1, CW)
+    chunk-row).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -175,39 +174,58 @@ def compact_edges_pallas(
     cw = _chunk_width(Lp)
     assert T % SUB == 0, T
     K = min(K, KMAX)
-    grid = (T // SUB, Lp // cw)
+    nbj = Lp // cw
+    grid = (T // SUB, nbj)
+
+    mi_buf = mi_buf.astype(jnp.float32)
+    wog_buf = wog_buf.astype(jnp.float32)
+    i0 = jnp.asarray(i0, jnp.int32)
+    thr = jnp.asarray(threshold, jnp.float32)
+
+    # phase 1 (XLA): per chunk-row counts -> aligned exclusive offsets
+    mask = _masks(mi_buf, i0, thr, L)
+    counts = mask.reshape(T, nbj, cw).sum(axis=2).astype(jnp.int32)   # (T, nbj)
+    aligned = jnp.where(counts > 0, ((counts + 127) // 128) * 128, 0)
+    flat = aligned.reshape(-1)
+    ends = jnp.cumsum(flat)
+    offs = (ends - flat).astype(jnp.int32)                            # exclusive
+    extent = ends[-1].astype(jnp.int32)
+    offs = jnp.concatenate([offs, counts.reshape(-1)])                # + counts
+
+    # scalar-prefetch payload: the per-chunk-row segment offsets
 
     kernel = functools.partial(_kernel, T=T, Lp=Lp, L=L, K=K, CW=cw,
-                               INTERPRET=interpret)
-    out, cnt = pl.pallas_call(
-        kernel,
+                               nbj=nbj, INTERPRET=interpret)
+    zeros = jnp.zeros((8, K), jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),         # i0
-            pl.BlockSpec(memory_space=pltpu.SMEM),         # threshold
-            pl.BlockSpec((SUB, cw), lambda i, j: (i, j)),  # mi
-            pl.BlockSpec((SUB, cw), lambda i, j: (i, j)),  # wog
+            pl.BlockSpec(memory_space=pltpu.SMEM),                  # i0
+            pl.BlockSpec(memory_space=pltpu.SMEM),                  # threshold
+            pl.BlockSpec(memory_space=pltpu.ANY),                   # zeros->out
+            pl.BlockSpec((SUB, cw), lambda i, j, s: (i, j)),        # mi
+            pl.BlockSpec((SUB, cw), lambda i, j, s: (i, j)),        # wog
         ],
         out_specs=[
-            pl.BlockSpec((8, K), lambda i, j: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((8, K), jnp.float32),
-            jax.ShapeDtypeStruct((2,), jnp.int32),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         scratch_shapes=[
-            pltpu.SMEM((1,), jnp.int32),
-            pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((SUB, 8, cw), jnp.float32),
+            pltpu.SemaphoreType.DMA((SUB,)),
         ],
+    )
+    (out,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((8, K), jnp.float32)],
+        # the zeros input IS the output buffer: holes stay zero and the
+        # kernel only writes real segments
+        input_output_aliases={3: 0},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024,
+            has_side_effects=True,
         ),
         interpret=interpret,
-    )(
-        jnp.asarray(i0, jnp.int32).reshape(1),
-        jnp.asarray(threshold, jnp.float32).reshape(1),
-        mi_buf.astype(jnp.float32),
-        wog_buf.astype(jnp.float32),
-    )
-    return out, cnt[0]
+    )(offs, i0.reshape(1), thr.reshape(1), zeros, mi_buf, wog_buf)
+    return out, extent

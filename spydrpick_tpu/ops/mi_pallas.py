@@ -60,12 +60,15 @@ def _rowsum5(x):
     return x.reshape(n5 // N_STATES, N_STATES, m).sum(axis=1)
 
 
-def _split_dot(x, M):
+def _split_dot(x, M, interpret=False):
     """x(f32) @ M(bf16 0/1): two DEFAULT-precision MXU passes via a
     bf16 hi/lo split of x — the 0/1 operand is exact, so accuracy is
     ~2^-16 relative at 1/3 the passes of a HIGHEST f32 dot (which also
-    blew the scoped-VMEM budget)."""
-    xh = x.astype(jnp.bfloat16)
+    blew the scoped-VMEM budget).  In interpret (XLA) mode a barrier
+    stops the compiler cancelling x - f32(bf16(x)); Mosaic neither
+    cancels nor lowers the barrier."""
+    guard = jax.lax.optimization_barrier if interpret else (lambda v: v)
+    xh = guard(x.astype(jnp.bfloat16))
     xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
     d = lambda u: jax.lax.dot_general(
         u, M, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -74,7 +77,7 @@ def _split_dot(x, M):
     return d(xh) + d(xl)
 
 
-def _mi_from_block(C, ipf, jpf, pc):
+def _mi_from_block(C, ipf, jpf, pc, interpret=False):
     """(BI, BJ) MI from a (BI*5, BJ*5) crosstable block in registers.
 
     Group reductions over i-states (major axis) are exact reshape-sums;
@@ -88,8 +91,9 @@ def _mi_from_block(C, ipf, jpf, pc):
     A = C + pc * pm
     lnA = _ln_pos(A)
 
-    B = _split_dot(A, Mj)                  # (640, 128) masked col sums
-    T1 = _split_dot(A * lnA, Mj)
+    sdot = lambda x, M: _split_dot(x, M, interpret)
+    B = sdot(A, Mj)                        # (640, 128) masked col sums
+    T1 = sdot(A * lnA, Mj)
     ipc = ipf[:, None]
     Z = _rowsum5(B * ipc)                  # (128, 128)
     G1 = _rowsum5(T1 * ipc)                # sum pm*A*lnA
@@ -98,8 +102,8 @@ def _mi_from_block(C, ipf, jpf, pc):
     # j-marginal uses the FULL row sum over all i-states (mi.hpp:173)
     R = _rowsum5(A)                        # (128, 640) unmasked row sums
     lnR = _ln_pos(R)
-    Gi_ = _split_dot(R * lnR, Mj)          # (128, 128)
-    Si_ = _split_dot(R, Mj)
+    Gi_ = sdot(R * lnR, Mj)                # (128, 128)
+    Si_ = sdot(R, Mj)
 
     invZ = 1.0 / jnp.maximum(Z, jnp.finfo(f32).tiny)
     lnZ = _ln_pos(Z)
@@ -110,7 +114,7 @@ def _mi_from_block(C, ipf, jpf, pc):
 
 
 def _kernel(xi_hi_ref, xi_lo_ref, xj_ref, ipf_ref, jpf_ref, ipwf_ref, jpwf_ref,
-            mi_ref, wog_ref, C_scratch, *, pc, n_k):
+            mi_ref, wog_ref, C_scratch, *, pc, n_k, interpret=False):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -129,15 +133,18 @@ def _kernel(xi_hi_ref, xi_lo_ref, xj_ref, ipf_ref, jpf_ref, ipwf_ref, jpwf_ref,
         C = C_scratch[:]
         ipf = ipf_ref[0, :]
         jpf = jpf_ref[0, :]
-        mi_ref[:] = _mi_from_block(C, ipf, jpf, pc)
+        mi_ref[:] = _mi_from_block(C, ipf, jpf, pc, interpret)
         ipwf = ipwf_ref[0, :]
         jpwf = jpwf_ref[0, :]
-        wog_ref[:] = _mi_from_block(C, ipwf, jpwf, pc)
+        wog_ref[:] = _mi_from_block(C, ipwf, jpwf, pc, interpret)
 
 
 def split_bf16(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """f32 -> (hi, lo) bf16 pair with hi + lo ~ x (residual ~2^-16 rel)."""
-    hi = x.astype(jnp.bfloat16)
+    """f32 -> (hi, lo) bf16 pair with hi + lo ~ x (residual ~2^-16 rel).
+
+    The barrier stops XLA from cancelling x - f32(bf16(x)) under
+    excess-precision rules (which would zero the lo part)."""
+    hi = jax.lax.optimization_barrier(x.astype(jnp.bfloat16))
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, lo
 
@@ -165,7 +172,7 @@ def mi_tile_pallas(
     n_k = S // BS
     grid = (TI // BI, TJ // BJ, n_k)
 
-    kernel = functools.partial(_kernel, pc=pseudocount, n_k=n_k)
+    kernel = functools.partial(_kernel, pc=pseudocount, n_k=n_k, interpret=interpret)
     mi, wog = pl.pallas_call(
         kernel,
         grid=grid,
