@@ -22,6 +22,7 @@ use 3e7 pairs/s. vs_baseline >= 10 meets the north-star "10x a
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -30,8 +31,65 @@ import numpy as np
 BASELINE_CPU_PAIRS_PER_S = 3.0e7
 
 
+def supervise() -> int:
+    """Run the real bench in a child process with stall detection.
+
+    The TPU tunnel in this environment wedges nondeterministically at
+    init/compile (child blocks on a futex with ~zero CPU and ignores
+    SIGTERM); retry with backoff and forward the JSON line.
+    """
+    stall_s = int(os.environ.get("BENCH_STALL", 420))
+    for attempt in range(1, 7):
+        env = dict(os.environ, BENCH_INNER="1")
+        proc = subprocess.Popen(
+            [sys.executable, "-u", os.path.abspath(__file__)],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, env=env,
+        )
+        t_last = time.time()
+
+        import threading
+
+        lines: list[str] = []
+
+        def _reader():
+            for line in proc.stdout:
+                lines.append(line.decode(errors="replace"))
+
+        th = threading.Thread(target=_reader, daemon=True)
+        th.start()
+        seen = 0
+        while proc.poll() is None:
+            time.sleep(5)
+            if len(lines) > seen:
+                seen = len(lines)
+                t_last = time.time()
+            if time.time() - t_last > stall_s:
+                proc.kill()
+                print(f"bench: child stalled (attempt {attempt}); retrying",
+                      file=sys.stderr)
+                time.sleep(30 * attempt)
+                break
+        else:
+            th.join(timeout=5)
+            for line in lines:
+                if line.startswith("{"):
+                    print(line, end="" if line.endswith("\n") else "\n")
+                    return 0
+            # child exited without a result: real error — show and retry
+            print(f"bench: child exited rc={proc.returncode} without result",
+                  file=sys.stderr)
+            time.sleep(15)
+    print("bench: giving up after 6 attempts", file=sys.stderr)
+    return 1
+
+
 def main():
     import jax
+
+    # persistent compile cache: retries after tunnel wedges resume
+    # compiled instead of paying multi-minute compiles again
+    jax.config.update("jax_compilation_cache_dir", "/tmp/spydrpick_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from spydrpick_tpu.core.alignment import Alignment
     from spydrpick_tpu.engine.solver import EngineConfig, MIEngine
@@ -52,10 +110,15 @@ def main():
         n_original_positions=L,
         weights=rng.random(S) * 0.9 + 0.1,
     )
+    print("# data built", flush=True)
     engine = MIEngine(
         al,
         EngineConfig(tile=tile, use_pallas_compact=compact),
     )
+    print("# engine ready", flush=True)
+
+    def progress(lo, hi, n, dt):
+        print(f"# rows {lo}-{hi} ({n} edges, {dt:.2f}s)", flush=True)
 
     # threshold retaining ~100*L of the L^2/2 pairs, estimated from a
     # sample (the production tournament does the same, SpydrPick.hpp:284)
@@ -65,13 +128,15 @@ def main():
     sample = engine.pair_mi(np.minimum(ii, jj)[keep], np.maximum(ii, jj)[keep])
     target_frac = min(1.0, (100 * L) / (L * (L - 1) / 2))
     threshold = float(np.quantile(sample, 1 - target_frac))
+    print(f"# threshold {threshold:.6f}", flush=True)
 
     t0 = time.perf_counter()
-    edges = engine.sweep(threshold)
+    edges = engine.sweep(threshold, progress=progress)
     compile_and_run = time.perf_counter() - t0
+    print(f"# first sweep {compile_and_run:.1f}s", flush=True)
 
     t0 = time.perf_counter()
-    edges = engine.sweep(threshold)
+    edges = engine.sweep(threshold, progress=progress)
     dt = time.perf_counter() - t0
 
     pairs = L * (L - 1) / 2
@@ -94,4 +159,6 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    if os.environ.get("BENCH_INNER") == "1":
+        sys.exit(main())
+    sys.exit(supervise())

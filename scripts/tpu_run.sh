@@ -35,11 +35,13 @@ for attempt in 1 2 3 4 5 6; do
     now=$(date +%s)
     size=$(stat -c %s "$LOG" 2>/dev/null || echo 0)
     cpu=$(cpu_ticks "$pid")
+    # compare CPU against the PREVIOUS WINDOW (a wedged process still
+    # trickles a few ticks/min, which must not reset the stall timer)
     if [ "$size" != "$last_size" ] || { [ -n "$cpu" ] && [ "$cpu" -gt $((last_cpu + 40)) ]; }; then
       last_change=$now
       last_size=$size
-      last_cpu=${cpu:-0}
     fi
+    last_cpu=${cpu:-$last_cpu}
     if [ $((now - last_change)) -ge "$STALL" ] || [ $((now - start)) -ge "$TOTAL" ]; then
       wedged=1
       break

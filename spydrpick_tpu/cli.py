@@ -88,6 +88,12 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--profile-dir", help="write a jax.profiler trace here")
     g.add_argument("--sharded", action="store_true",
                    help="shard the sweep over all visible devices")
+
+    g = p.add_argument_group("multi-host options")
+    g.add_argument("--coordinator-address",
+                   help="host:port of process 0 (jax.distributed)")
+    g.add_argument("--num-processes", type=int, help="total process count")
+    g.add_argument("--process-id", type=int, help="this process's id")
     return p
 
 
@@ -101,6 +107,14 @@ def main(argv=None) -> int:
         return 1
 
     print(version_string())
+    if args.coordinator_address or (args.num_processes and args.num_processes > 1):
+        from spydrpick_tpu.parallel.distributed import initialize_multihost
+
+        info = initialize_multihost(
+            args.coordinator_address, args.num_processes, args.process_id
+        )
+        print(f"spydrpick-tpu: process {info['process_index']}/{info['process_count']}, "
+              f"{info['local_devices']} local / {info['global_devices']} global devices")
     opts = PipelineOptions(
         alignmentfile=args.alignmentfile,
         mi_threshold=args.mi_threshold,

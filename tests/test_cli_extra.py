@@ -1,0 +1,82 @@
+"""Additional CLI / output-surface tests: mappings list, genome size,
+outlier-node FASTA contents, plot generation."""
+
+import numpy as np
+
+from spydrpick_tpu.io.fasta import read_fasta, write_fasta
+from spydrpick_tpu.pipeline import PipelineOptions, run_pipeline
+
+from tests.conftest import random_alignment
+
+
+def test_mappings_list_and_genome_size(tmp_path):
+    """--mappings-list remaps output positions; --genome-size sets the
+    circular wrap (reference README 'Advanced usage')."""
+    al = random_alignment(n_samples=40, n_loci=20, seed=80)
+    p = tmp_path / "a.fasta"
+    write_fasta(p, al)
+    mp = tmp_path / "map.txt"
+    orig = (np.arange(20) * 50 + 7).astype(int)  # sparse original positions
+    mp.write_text(" ".join(str(x + 1) for x in orig))  # 1-based input
+    opts = PipelineOptions(
+        alignmentfile=str(p), mi_threshold=0.0, no_filter_alignment=True,
+        mappings_list=str(mp), genome_size=2000,
+        no_sample_reweighting=True, output_dir=str(tmp_path),
+    )
+    res = run_pipeline(opts)
+    lines = open(res.couplings_path).read().strip().split("\n")
+    p1 = np.array([int(l.split()[0]) for l in lines])
+    p2 = np.array([int(l.split()[1]) for l in lines])
+    d = np.array([int(l.split()[2]) for l in lines])
+    # output positions are translated originals (1-based)
+    assert set(p1) | set(p2) <= set((orig + 1).tolist())
+    # distances use the circular genome size
+    raw = np.abs(p1 - p2)
+    np.testing.assert_array_equal(d, np.minimum(raw, 2000 - raw))
+
+
+def test_outlier_node_fasta_contents(tmp_path):
+    """The outlier-node FASTA holds exactly the outlier-edge columns
+    (SpydrPick.cpp:488-503)."""
+    rng = np.random.default_rng(81)
+    S, L = 80, 40
+    codes = rng.integers(0, 4, size=(S, L)).astype(np.uint8)
+    codes[:, 30] = codes[:, 5]  # strong pair -> outliers
+    al = random_alignment(2, 2)
+    from spydrpick_tpu.core.alignment import Alignment
+
+    al = Alignment(codes, [f"s{i}" for i in range(S)], "t",
+                   np.arange(L), L)
+    p = tmp_path / "t.fasta"
+    write_fasta(p, al)
+    opts = PipelineOptions(
+        alignmentfile=str(p), mi_threshold=0.05, no_filter_alignment=True,
+        no_sample_reweighting=True, output_dir=str(tmp_path),
+    )
+    res = run_pipeline(opts)
+    fastas = list(tmp_path.glob("*.outlier_nodes.fasta"))
+    if res.edges.mi.max() >= res.outlier_threshold:
+        assert fastas, "outlier nodes fasta expected"
+        sub = read_fasta(fastas[0])
+        # planted pair columns must be among the outlier nodes
+        mask = res.edges.mi >= res.outlier_threshold
+        nodes = np.unique(np.concatenate(
+            [res.edges.ipos[mask], res.edges.jpos[mask]]))
+        assert sub.n_loci == len(nodes)
+        np.testing.assert_array_equal(sub.codes, al.codes[:, nodes])
+
+
+def test_plot_tool(tmp_path):
+    al = random_alignment(n_samples=40, n_loci=30, seed=82)
+    p = tmp_path / "a.fasta"
+    write_fasta(p, al)
+    res = run_pipeline(PipelineOptions(
+        alignmentfile=str(p), mi_threshold=0.0, no_filter_alignment=True,
+        no_sample_reweighting=True, output_dir=str(tmp_path)))
+    from spydrpick_tpu.plot import main as plot_main
+
+    rc = plot_main([res.couplings_path, "--out", str(tmp_path / "plot.png"),
+                    "--ld-dist", "5", "--outlier-threshold",
+                    str(res.outlier_threshold)])
+    assert rc == 0
+    assert (tmp_path / "plot.png").exists()
