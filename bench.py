@@ -53,16 +53,34 @@ def supervise() -> int:
 
         def _reader():
             for line in proc.stdout:
-                lines.append(line.decode(errors="replace"))
+                text = line.decode(errors="replace")
+                lines.append(text)
+                if text.startswith("#"):
+                    print(text, end="", file=sys.stderr)  # forward heartbeats
 
         th = threading.Thread(target=_reader, daemon=True)
         th.start()
         seen = 0
+        last_cpu = 0.0
+
+        def _cpu():
+            try:
+                with open(f"/proc/{proc.pid}/stat") as f:
+                    parts = f.read().split()
+                return (int(parts[13]) + int(parts[14])) / 100.0
+            except OSError:
+                return None
+
         while proc.poll() is None:
             time.sleep(5)
-            if len(lines) > seen:
+            cpu = _cpu()
+            # liveness = new output OR real CPU burn (long compiles emit
+            # nothing; a wedged child trickles <0.1 s CPU per window)
+            if len(lines) > seen or (cpu is not None and cpu - last_cpu > 0.4):
                 seen = len(lines)
                 t_last = time.time()
+            if cpu is not None:
+                last_cpu = cpu
             if time.time() - t_last > stall_s:
                 proc.kill()
                 print(f"bench: child stalled (attempt {attempt}); retrying",
