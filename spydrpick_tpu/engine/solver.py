@@ -69,10 +69,9 @@ class EngineConfig:
     # fused Pallas MI kernel (ops/mi_pallas.py): "auto" enables it on
     # TPU when the tile is a multiple of its 128-column block
     use_pallas: str = "auto"   # "auto" | "on" | "off"
-    # Pallas edge-compaction kernel (ops/compact_pallas.py): kept
-    # opt-in until hardware-validated — a Mosaic compile crash aborts
-    # the whole process and cannot be caught
-    use_pallas_compact: str = "off"  # "auto" | "on" | "off"
+    # Pallas edge-compaction kernel (ops/compact_pallas.py): "auto"
+    # follows use_pallas (TPU only)
+    use_pallas_compact: str = "auto"  # "auto" | "on" | "off"
     verbose: bool = False
 
 
@@ -162,12 +161,8 @@ def _buf_dtype(st: SweepStatics):
 
 
 def effective_row_capacity(st: SweepStatics) -> int:
-    """Usable per-row edge slots: the Pallas compaction kernel's append
-    window clamps CW short of K (compact_pallas.py)."""
-    if st.use_pallas_compact:
-        from spydrpick_tpu.ops.compact_pallas import CW, KMAX
-
-        return min(st.edge_capacity, KMAX) - CW
+    """Usable per-row edge slots (both compaction paths now emit a dense
+    K-capacity window with a true count, so this is simply K)."""
     return st.edge_capacity
 
 
@@ -288,14 +283,11 @@ def row_sweep_core(data: DeviceData, st: SweepStatics, i0, threshold):
         # ~50 ms per (512, 8192) row — the dominant sweep cost
         from spydrpick_tpu.ops.compact_pallas import compact_edges_pallas
 
-        out, count = compact_edges_pallas(
+        vals, wogs, ipos, jpos, count = compact_edges_pallas(
             mi_buf, wog_buf, i0, threshold, st.L, K
         )
-        vals = out[0].astype(mi_buf.dtype)
-        wogs = out[1].astype(mi_buf.dtype)
-        jpos = out[2].astype(jnp.int32)
-        ipos = out[3].astype(jnp.int32)
-        return colmax_i, colmax_j, vals, wogs, ipos, jpos, count
+        return (colmax_i, colmax_j, vals.astype(mi_buf.dtype),
+                wogs.astype(mi_buf.dtype), ipos, jpos, count)
 
     store = store_base & (mi_buf > threshold)
     flat_mask = store.reshape(-1)
@@ -662,10 +654,10 @@ class MIEngine:
     def _fetch_stores(self, mi_s, wog_s, ip_s, jp_s, offset, colmax_d):
         """Bulk host fetch of the device edge stores ([:offset]) + colmax.
 
-        The Pallas compaction path leaves zeroed 128-alignment holes in
-        the store; real edges always satisfy jpos > ipos while holes are
-        (0, 0), so that inequality filters them exactly (and is a no-op
-        for the XLA path)."""
+        Both compaction paths emit dense entries, but overflowed /
+        poisoned rows append zero padding; real edges always satisfy
+        jpos > ipos while padding is (0, 0), so that inequality filters
+        padding exactly."""
         off = int(offset)
         L = self.L
         s_i = np.asarray(ip_s[:off], dtype=np.int64)

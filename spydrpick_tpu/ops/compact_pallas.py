@@ -25,9 +25,14 @@ op.  All four payload rows ride one matmul via a 3-way bf16 split
 (exact for integers < 2^24; ~2^-24 relative for MI values).
 
 Segments start 128-aligned (Mosaic vector-store constraint), so the
-output contains exact-zero holes; real edges always have jpos > ipos,
-which filters them.  Capacity demand is
-``sum over non-empty chunk-rows of ceil128(count)``.
+kernel buffer contains alignment holes; a third, XLA phase ("repack")
+gathers the segments into a dense K-capacity buffer using the phase-1
+counts — at realistic edge densities (~1 edge per chunk-row) the
+aligned extent is ~100x the true edge count, so returning the aligned
+buffer directly both wasted capacity and (in round 1) made every row
+look overflowed, silently degrading the sweep to full-row host
+re-extraction.  The repack is O(K) 1-D gathers — negligible next to
+the (T, Lp) phase-1/2 passes.
 
 Mosaic pitfalls encoded here (each crashed or miscompiled otherwise):
 concatenate/broadcast of (1, CW) operands (use full-tile rolls),
@@ -47,7 +52,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 SUB = 8       # buffer rows per grid step
 CW = 512      # max chunk width (reserved slots in the K window)
-KMAX = 1 << 18  # kernel-side capacity cap (the (8, K) VMEM buffer)
+# kernel staging-buffer cap, in slots.  The worst-case aligned extent is
+# 128 per chunk-row = T*Lp/CW*128 slots; that bound is allocated exactly
+# when below this cap (then clamping can never corrupt a segment), and
+# rows whose extent exceeds a capped buffer are poisoned so the caller's
+# overflow path re-extracts them.
+KBUF_CAP = 1 << 23
 
 
 def _chunk_width(Lp: int) -> int:
@@ -97,8 +107,14 @@ def _kernel(offs_ref, i0_ref, thr_ref, zeros_ref, mi_ref, wog_ref, out_ref,
 
     def _sub_row(r, dest_all, mi_m, wog_m, j_f, i_f):
         # scalar-prefetch count: predicating the DMA on a value derived
-        # from vector memory lost writes on hardware
-        kk = (bi * SUB + r) * nbj + bj
+        # from vector memory lost writes on hardware.
+        # kk follows the WRITE order (grid steps row-major with bj minor,
+        # r innermost): each (8, CW) segment DMA writes a full CW window
+        # whose tail overhang (zeros beyond ceil128(cnt)) extends into
+        # the next segments' slots — offsets assigned in write order
+        # guarantee the overhang only covers segments written later,
+        # which then overwrite it.
+        kk = (bi * nbj + bj) * SUB + r
         cnt = offs_ref[NK + kk]
 
         @pl.when(cnt > 0)
@@ -159,21 +175,31 @@ def compact_edges_pallas(
     K: int,
     interpret: bool | None = None,
 ):
-    """Returns (out (8, K) f32; rows 0-3 are [mi, wog, jpos, ipos],
-    extent int32).
+    """Returns dense (vals (K,) f32, wogs (K,) f32, ipos (K,) i32,
+    jpos (K,) i32, count i32) — the first ``count`` entries are the
+    edges with mi > threshold in the upper-triangle valid range, in
+    row-major buffer order; ``count`` is the TRUE edge count (overflow
+    iff count > K).
 
-    Valid entries live in [:, :extent] interleaved with exact-zero
-    alignment holes (filter ``jpos > ipos``).  Overflow is detected via
-    extent > usable capacity; at very high edge density prefer the XLA
-    compaction path (capacity demand ~128 slots per non-empty (1, CW)
-    chunk-row).
+    If the 128-aligned staging extent exceeds the (capped) kernel
+    buffer — only possible at extreme edge density with Lp large enough
+    to hit KBUF_CAP — the outputs are zeroed and count is poisoned to
+    2^30 so the caller's overflow path re-extracts the row on the host.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     T, Lp = mi_buf.shape
     cw = _chunk_width(Lp)
     assert T % SUB == 0, T
-    K = min(K, KMAX)
+    K_out = K
+    nbj_ = Lp // cw
+    NC = T * nbj_
+    # staging capacity: extent <= count + 127*NC, so K_out + 128*NC
+    # guarantees a row with count <= K_out is never poisoned (a row
+    # with count > K_out overflows regardless); T*Lp bounds the fully
+    # dense case, and KBUF_CAP bounds memory (poison-on-clamp beyond)
+    KBUF = min(K_out + 128 * NC + cw, T * Lp + cw, KBUF_CAP)
+    K = KBUF
     nbj = Lp // cw
     grid = (T // SUB, nbj)
 
@@ -182,15 +208,18 @@ def compact_edges_pallas(
     i0 = jnp.asarray(i0, jnp.int32)
     thr = jnp.asarray(threshold, jnp.float32)
 
-    # phase 1 (XLA): per chunk-row counts -> aligned exclusive offsets
+    # phase 1 (XLA): per chunk-row counts -> aligned exclusive offsets,
+    # in the kernel's WRITE order (bi, bj, r) — see _sub_row
     mask = _masks(mi_buf, i0, thr, L)
     counts = mask.reshape(T, nbj, cw).sum(axis=2).astype(jnp.int32)   # (T, nbj)
-    aligned = jnp.where(counts > 0, ((counts + 127) // 128) * 128, 0)
-    flat = aligned.reshape(-1)
-    ends = jnp.cumsum(flat)
-    offs = (ends - flat).astype(jnp.int32)                            # exclusive
+    counts_w = (
+        counts.reshape(T // SUB, SUB, nbj).transpose(0, 2, 1).reshape(-1)
+    )
+    aligned = jnp.where(counts_w > 0, ((counts_w + 127) // 128) * 128, 0)
+    ends = jnp.cumsum(aligned)
+    offs = (ends - aligned).astype(jnp.int32)                         # exclusive
     extent = ends[-1].astype(jnp.int32)
-    offs = jnp.concatenate([offs, counts.reshape(-1)])                # + counts
+    offs = jnp.concatenate([offs, counts_w])                          # + counts
 
     # scalar-prefetch payload: the per-chunk-row segment offsets
 
@@ -228,4 +257,26 @@ def compact_edges_pallas(
         ),
         interpret=interpret,
     )(offs, i0.reshape(1), thr.reshape(1), zeros, mi_buf, wog_buf)
-    return out, extent
+
+    # phase 3 (XLA repack): squeeze the 128-aligned holes out into a
+    # dense K_out window.  For output slot t, its source chunk-row is
+    # located by binary search over the true-count prefix sums, and the
+    # within-chunk rank indexes into that chunk's aligned segment.
+    ends_true = jnp.cumsum(counts_w)
+    starts_true = ends_true - counts_w
+    count = ends_true[-1]
+    t_idx = jnp.arange(K_out, dtype=jnp.int32)
+    c = jnp.searchsorted(ends_true, t_idx, side="right").astype(jnp.int32)
+    c = jnp.minimum(c, counts_w.shape[0] - 1)
+    # if any segment offset reached the clamp region [K-CW, K), writes
+    # overlapped — poison the row (never triggers when KBUF covers the
+    # worst-case extent + CW slack)
+    bad = extent > K - cw
+    valid = (t_idx < count) & jnp.logical_not(bad)
+    src = jnp.where(valid, offs[c] + (t_idx - starts_true[c]), 0)
+    vals = jnp.where(valid, out[0, src], 0.0)
+    wogs = jnp.where(valid, out[1, src], 0.0)
+    jpos = jnp.where(valid, out[2, src].astype(jnp.int32), 0)
+    ipos = jnp.where(valid, out[3, src].astype(jnp.int32), 0)
+    count = jnp.where(bad, jnp.int32(1 << 30), count)
+    return vals, wogs, ipos, jpos, count

@@ -167,10 +167,13 @@ def sharded_sweep(engine: MIEngine, threshold: float, mesh: Mesh | None = None,
                 all_mi.append(mi_buf[mask].astype(np.float64))
                 all_wog.append(wog_buf[mask].astype(np.float64))
             elif n > 0:
-                all_i.append(ipos_a[d, :n].astype(np.int64))
-                all_j.append(jpos_a[d, :n].astype(np.int64))
-                all_mi.append(vals[d, :n].astype(np.float64))
-                all_wog.append(wogs[d, :n].astype(np.float64))
+                # guard against zero padding (jpos > ipos holds for every
+                # real edge; padding is (0, 0))
+                keep = jpos_a[d, :n] > ipos_a[d, :n]
+                all_i.append(ipos_a[d, :n][keep].astype(np.int64))
+                all_j.append(jpos_a[d, :n][keep].astype(np.int64))
+                all_mi.append(vals[d, :n][keep].astype(np.float64))
+                all_wog.append(wogs[d, :n][keep].astype(np.float64))
             if progress is not None:
                 progress(i0, min(i0 + T, L), n, 0.0)
 

@@ -9,9 +9,14 @@ from spydrpick_tpu.ops.mi_pallas import BI
 from tests.conftest import random_alignment
 
 
-@pytest.mark.parametrize("compact", ["off", "on"])
-def test_pallas_sweep_matches_xla_path(compact):
-    al = random_alignment(n_samples=40, n_loci=2 * BI, seed=60, gap_frac=0.15)
+@pytest.mark.parametrize(
+    "compact,n_loci",
+    [("off", 2 * BI), ("on", 2 * BI), ("on", 8 * BI)],
+    # 8*BI: Lp=1024 -> 2 compaction chunks per buffer row (nbj=2), which
+    # exercises the write-order/overhang interaction the nbj=1 case hides
+)
+def test_pallas_sweep_matches_xla_path(compact, n_loci):
+    al = random_alignment(n_samples=40, n_loci=n_loci, seed=60, gap_frac=0.15)
     xla = MIEngine(al, EngineConfig(tile=BI, use_pallas="off")).sweep(0.05).sort_desc()
     pls = (
         MIEngine(al, EngineConfig(tile=BI, use_pallas="on", use_pallas_compact=compact))
