@@ -81,6 +81,18 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--tile", type=int, default=512, help="MI tile width in columns")
     g.add_argument("--edge-capacity", type=int, default=1 << 19,
                    help="per-block-row on-device edge buffer capacity")
+    g.add_argument("--store-capacity", type=int, default=1 << 24,
+                   help="device-resident edge store capacity (whole sweep)")
+    g.add_argument("--rows-per-dispatch", type=int, default=8,
+                   help="block-rows swept per device dispatch")
+    g.add_argument("--use-pallas", choices=["auto", "on", "off"], default="auto",
+                   help="fused Pallas MI kernel (auto: on TPU with aligned tiles)")
+    g.add_argument("--use-pallas-compact", choices=["auto", "on", "off"], default="auto",
+                   help="Pallas edge-compaction kernel (auto: follows --use-pallas)")
+    g.add_argument("--matmul-precision", choices=["highest", "high", "default"],
+                   default="high",
+                   help="crosstable matmul precision (default rounds weights to bf16 "
+                        "- unsafe for MI ranking)")
     g.add_argument("--output-dir", default=".", help="directory for output files")
     g.add_argument("--checkpoint", help="sweep checkpoint file: resume a killed run")
     g.add_argument("--checkpoint-every", type=int, default=16,
@@ -150,6 +162,11 @@ def main(argv=None) -> int:
         seed=args.seed,
         tile=args.tile,
         edge_capacity=args.edge_capacity,
+        store_capacity=args.store_capacity,
+        rows_per_dispatch=args.rows_per_dispatch,
+        use_pallas=args.use_pallas,
+        use_pallas_compact=args.use_pallas_compact,
+        matmul_precision=args.matmul_precision,
         output_dir=args.output_dir,
         checkpoint=args.checkpoint,
         checkpoint_every=args.checkpoint_every,

@@ -597,10 +597,22 @@ class MIEngine:
                 s_i, s_j, s_m, s_w, s_c = self._fetch_stores(
                     mi_s, wog_s, ip_s, jp_s, offset, colmax_d
                 )
+                # overflowed rows hold TRUNCATED edges in the store: drop
+                # them from the saved arrays and leave the rows out of
+                # done_rows so a resumed run re-sweeps (and re-extracts)
+                # them — persisting them as complete would silently lose
+                # every edge beyond the per-row window
+                save_done = done_rows
+                if overflow_rows:
+                    ov = np.asarray(overflow_rows, np.int64)
+                    bad = np.isin((s_i // T) * T, ov)
+                    s_i, s_j = s_i[~bad], s_j[~bad]
+                    s_m, s_w = s_m[~bad], s_w[~bad]
+                    save_done = done_rows - set(overflow_rows)
                 ckpt_mod.save(
                     checkpoint_path,
                     ckpt_mod.SweepCheckpoint(
-                        ck_key, done_rows, np.maximum(colmax, s_c),
+                        ck_key, save_done, np.maximum(colmax, s_c),
                         all_i + [s_i], all_j + [s_j],
                         all_mi + [s_m], all_wog + [s_w],
                     ),

@@ -79,12 +79,16 @@ def determine_mi_threshold(
     possible_pairs = n_loci * (n_loci - 1) // 2
     percentile = 1.0 - float(n_values) / possible_pairs
     pairs_n = determine_threshold_pairs(threshold_pairs, possible_pairs, percentile)
-    if pairs_n <= 0:
+    if pairs_n <= 0 or percentile <= 0.0:
+        # n_values >= possible_pairs (tiny alignments): every pair would
+        # be saved anyway; a negative percentile would otherwise produce
+        # an opaque negative-partition-index error below
         raise ValueError(
-            f"alignment too small for threshold estimation ({possible_pairs} possible pairs); "
-            "set --mi-threshold explicitly"
+            f"alignment too small for threshold estimation ({possible_pairs} possible "
+            f"pairs <= {n_values} target values); set --mi-threshold explicitly "
+            "(e.g. --mi-threshold 0 to keep all pairs)"
         )
-    threshold_idx = int(percentile * pairs_n)
+    threshold_idx = min(int(percentile * pairs_n), pairs_n - 1)
 
     if verbose_out is not None:
         print(f" ({pairs_n} pairs * {iterations} iterations)", file=verbose_out)

@@ -83,6 +83,11 @@ class PipelineOptions:
     # engine tuning
     tile: int = 512
     edge_capacity: int = 1 << 19
+    store_capacity: int = 1 << 24
+    rows_per_dispatch: int = 8
+    use_pallas: str = "auto"
+    use_pallas_compact: str = "auto"
+    matmul_precision: str = "high"
     output_dir: str = "."
     checkpoint: str | None = None       # sweep checkpoint file (resume support)
     checkpoint_every: int = 16
@@ -123,7 +128,14 @@ def load_and_preprocess(opts: PipelineOptions) -> Alignment:
         write_fasta(out, alignment)
 
     if opts.include_list:
-        keep = parse_loci_list(opts.include_list, opts.input_indexing_base)
+        incl = set(parse_loci_list(opts.include_list, opts.input_indexing_base).tolist())
+        # match against the loci translation, exactly like the exclude
+        # path — in the reference both lists go through the same subset /
+        # translation machinery (SpydrPick.cpp:191-231), which matters
+        # when --mappings-list changes the position numbering
+        keep = np.array(
+            [k for k, t in enumerate(alignment.translation) if t in incl], dtype=np.int64
+        )
         alignment = alignment.subset(keep)
         _log(opts, f"include list -> {alignment.n_loci} loci")
     if opts.exclude_list:
@@ -189,6 +201,11 @@ def run_pipeline(opts: PipelineOptions, write_outputs: bool = True) -> PipelineR
     config = EngineConfig(
         tile=opts.tile,
         edge_capacity=opts.edge_capacity,
+        store_capacity=opts.store_capacity,
+        rows_per_dispatch=opts.rows_per_dispatch,
+        use_pallas=opts.use_pallas,
+        use_pallas_compact=opts.use_pallas_compact,
+        matmul_precision=opts.matmul_precision,
         pseudocount=opts.mi_pseudocount,
         ld_threshold=opts.ld_threshold,
         linear_genome=opts.linear_genome,
@@ -225,6 +242,12 @@ def run_pipeline(opts: PipelineOptions, write_outputs: bool = True) -> PipelineR
 
             from spydrpick_tpu.parallel.mesh import sharded_sweep
 
+            if opts.checkpoint:
+                print(
+                    "spydrpick-tpu WARNING: --checkpoint is not supported with "
+                    "--sharded; the sweep will not be resumable",
+                    file=sys.stderr,
+                )
             if len(jax.devices()) > 1:
                 edges = sharded_sweep(
                     engine, mi_threshold,

@@ -1,6 +1,8 @@
 """Sweep checkpoint/resume tests (new capability vs the reference,
 SURVEY §5: the reference run is monolithic with no resume)."""
 
+import os
+
 import numpy as np
 
 from spydrpick_tpu.engine import checkpoint as ck
@@ -72,6 +74,57 @@ def test_sweep_resume_matches_clean_run(tmp_path):
     import os
 
     assert not os.path.exists(path)
+
+
+def test_overflow_checkpoint_resume_matches_clean(tmp_path):
+    """Overflow -> checkpoint -> kill -> resume must equal a clean run.
+
+    Round-1 bug: a block-row whose edge count exceeded edge_capacity was
+    persisted in the checkpoint with its TRUNCATED store contents and
+    listed in done_rows, so a resumed run silently lost every edge beyond
+    the per-row window.  The fix drops truncated edges from the saved
+    arrays and leaves overflowed rows out of done_rows (re-swept and
+    re-extracted on resume).
+    """
+    al = random_alignment(n_samples=40, n_loci=64, seed=52, gap_frac=0.05)
+    # threshold -1 keeps every pair: early block-rows have ~476 edges,
+    # far above edge_capacity=128 -> guaranteed overflow
+    cfg = EngineConfig(tile=8, edge_capacity=128, rows_per_dispatch=1)
+    engine = MIEngine(al, cfg)
+    clean = engine.sweep(-1.0).sort_desc()
+    assert clean.n_edges == 64 * 63 // 2  # sanity: all pairs kept
+
+    class Killed(Exception):
+        pass
+
+    calls = {"n": 0}
+
+    def progress(r0, r1, n_edges, dt):
+        calls["n"] += 1
+        if calls["n"] == 3:  # die mid-sweep, after 2 checkpointed groups
+            raise Killed
+
+    path = str(tmp_path / "ov.ckpt")
+    engine2 = MIEngine(al, cfg)
+    try:
+        engine2.sweep(-1.0, progress=progress, checkpoint_path=path,
+                      checkpoint_every=1)
+        raise AssertionError("progress kill did not fire")
+    except Killed:
+        pass
+    assert os.path.exists(path)
+    # the saved checkpoint must not claim overflowed rows as done
+    saved = ck.load(path, ck.params_key(engine2.statics, -1.0))
+    assert saved is not None
+    assert 0 not in saved.done_rows  # block-row 0 overflowed (476 > 128)
+
+    resumed = MIEngine(al, cfg).sweep(
+        -1.0, checkpoint_path=path).sort_desc()
+    assert resumed.n_edges == clean.n_edges
+    np.testing.assert_array_equal(resumed.ipos, clean.ipos)
+    np.testing.assert_array_equal(resumed.jpos, clean.jpos)
+    np.testing.assert_allclose(resumed.mi, clean.mi, rtol=1e-6)
+    np.testing.assert_allclose(resumed.colmax, clean.colmax, rtol=1e-6)
 
 
 def test_checkpoint_written_during_sweep(tmp_path):
