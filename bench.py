@@ -153,9 +153,11 @@ def main():
     compile_and_run = time.perf_counter() - t0
     print(f"# first sweep {compile_and_run:.1f}s", flush=True)
 
+    phases: dict = {}
     t0 = time.perf_counter()
-    edges = engine.sweep(threshold, progress=progress)
+    edges = engine.sweep(threshold, progress=progress, timings=phases)
     dt = time.perf_counter() - t0
+    print(f"# phases {phases}", flush=True)
 
     pairs = L * (L - 1) / 2
     pairs_per_s = pairs / dt
@@ -171,6 +173,8 @@ def main():
             "edges": int(edges.n_edges),
             "sweep_seconds": round(dt, 3),
             "first_run_seconds": round(compile_and_run, 3),
+            "phases": {k: (round(v, 3) if isinstance(v, float) else v)
+                       for k, v in phases.items()},
         },
     }
     print(json.dumps(result))

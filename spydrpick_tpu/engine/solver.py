@@ -525,6 +525,7 @@ class MIEngine:
         progress=None,
         checkpoint_path: str | None = None,
         checkpoint_every: int = 16,
+        timings: dict | None = None,
     ) -> EdgeSet:
         """All-pairs upper-triangle sweep storing edges with mi > threshold.
 
@@ -532,6 +533,10 @@ class MIEngine:
         mirroring the reference per-block verbose lines (mi.hpp:497-506).
         ``checkpoint_path``: optional tile-range checkpoint (resume a
         killed run; saved every ``checkpoint_every`` rows).
+        ``timings``: optional dict filled with wall-clock phase seconds
+        (compute_s = dispatch+sync group loop, fetch_s = bulk edge-store
+        drain to host, overflow_s = per-row re-extraction) so the bench
+        can itemize where a sweep spends its time.
         """
         from spydrpick_tpu.engine import checkpoint as ckpt_mod
 
@@ -572,6 +577,7 @@ class MIEngine:
         expected_offset = 0
         groups = [row_starts[g0 : g0 + G] for g0 in range(0, len(row_starts), G)]
         ck_rows = 0
+        t_compute0 = time.perf_counter()
         for group in groups:
             t0 = time.perf_counter()
             padded = group + [-1] * (G - len(group))
@@ -618,6 +624,7 @@ class MIEngine:
                     ),
                 )
 
+        t_compute = time.perf_counter() - t_compute0
         # device appends clamp at cap-K; expected_offset <= cap-K proves
         # no append was ever clamped (offsets grow monotonically)
         if expected_offset > cap - K:
@@ -626,9 +633,12 @@ class MIEngine:
                 f"{cap}; raise --mi-threshold or the engine store_capacity"
             )
 
+        t_fetch0 = time.perf_counter()
         s_i, s_j, s_m, s_w, s_c = self._fetch_stores(
             mi_s, wog_s, ip_s, jp_s, offset, colmax_d
         )
+        t_fetch = time.perf_counter() - t_fetch0
+        t_overflow0 = time.perf_counter()
         colmax = np.maximum(colmax, s_c)
         if overflow_rows:
             # rows whose edge count exceeded the per-row window K: their
@@ -650,6 +660,13 @@ class MIEngine:
         all_j.append(s_j)
         all_mi.append(s_m)
         all_wog.append(s_w)
+
+        if timings is not None:
+            timings["compute_s"] = t_compute
+            timings["fetch_s"] = t_fetch
+            timings["overflow_s"] = time.perf_counter() - t_overflow0
+            timings["overflow_rows"] = len(overflow_rows)
+            timings["fetched_edges"] = int(offset)
 
         if checkpoint_path and os.path.exists(checkpoint_path):
             os.unlink(checkpoint_path)  # run completed; stale resume data
