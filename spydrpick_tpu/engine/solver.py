@@ -117,6 +117,20 @@ class SweepStatics:
             "default": jax.lax.Precision.DEFAULT,
         }[self.matmul_precision]
 
+    @property
+    def store_lanes(self) -> int:
+        """Lane width of the 2-D edge stores.  Stores are (lines, LN)
+        rather than flat (cap,) because a dynamic-offset update in the
+        minor (lane) dimension lowers to a full-array shift on TPU
+        (~300x off memory speed — the same pathology as scatter); a
+        dynamic offset in the major dimension is a contiguous copy.
+        Appends advance in whole lines (per-row counts rounded up; the
+        sub-line tail is zero padding, dropped by the jpos > ipos
+        filter at fetch)."""
+        import math
+
+        return math.gcd(self.edge_capacity, 128)
+
 
 @dataclasses.dataclass
 class EdgeSet:
@@ -320,15 +334,20 @@ def rows_group_core(
     total,                 # () int32: true edge count (overflow detect)
 ):
     """Sweep a group of block-rows, appending edges to device-resident
-    stores — no host transfer per row.  The per-row K-sized compaction
-    window is appended at ``offset``; the garbage tail beyond each
-    row's count is overwritten by the next append, so entries
-    [0, offset) are always valid.  Overflow (total > stored or a row
-    exceeding K) is detected on the host from (total, counts).
+    stores — no host transfer per row.  Stores are 2-D (lines, LN)
+    with ``offset`` counted in LINES (see SweepStatics.store_lanes for
+    why: a lane-dim dynamic update is a full-array shift on TPU).  The
+    per-row K-sized compaction window is appended at line ``offset``;
+    the garbage tail beyond each row's line count is overwritten by the
+    next append, so lines [0, offset) are always valid (sub-line holes
+    are zero padding, dropped by the jpos > ipos fetch filter).
+    Overflow (a row exceeding K) is detected on the host from counts.
     """
     T = st.tile
     K = st.edge_capacity
-    cap = mi_s.shape[0]
+    LN = st.store_lanes
+    KL = K // LN                   # lines per row window
+    cap_lines = mi_s.shape[0]
     G = row_starts.shape[0]
     KE = effective_row_capacity(st)
 
@@ -342,13 +361,14 @@ def rows_group_core(
         colmax = jax.lax.dynamic_update_slice(
             colmax, jnp.maximum(cur, colmax_i), (i0,)
         )
-        off_w = jnp.minimum(offset, cap - K)  # never clobber beyond cap
-        mi_s = jax.lax.dynamic_update_slice(mi_s, vals, (off_w,))
-        wog_s = jax.lax.dynamic_update_slice(wog_s, wogs, (off_w,))
-        ip_s = jax.lax.dynamic_update_slice(ip_s, ipos, (off_w,))
-        jp_s = jax.lax.dynamic_update_slice(jp_s, jpos, (off_w,))
-        n = jnp.minimum(count, KE)
-        offset = off_w + n
+        off_w = jnp.minimum(offset, cap_lines - KL)  # never clobber past cap
+        to2d = lambda x: x.reshape(KL, LN)
+        mi_s = jax.lax.dynamic_update_slice(mi_s, to2d(vals), (off_w, 0))
+        wog_s = jax.lax.dynamic_update_slice(wog_s, to2d(wogs), (off_w, 0))
+        ip_s = jax.lax.dynamic_update_slice(ip_s, to2d(ipos), (off_w, 0))
+        jp_s = jax.lax.dynamic_update_slice(jp_s, to2d(jpos), (off_w, 0))
+        n_lines = (jnp.minimum(count, KE) + LN - 1) // LN
+        offset = off_w + n_lines
         total = total + count
         return (colmax, mi_s, wog_s, ip_s, jp_s, offset, total), count
 
@@ -558,7 +578,9 @@ class MIEngine:
         # stores; per group only the (G,) counts vector crosses the slow
         # host link, with one bulk fetch at the end (per-row fetches of
         # the K-sized buffers dominated wall time on the TPU tunnel).
-        cap = max(self.config.store_capacity, 2 * K)
+        # Stores are (lines, LN) 2-D — see SweepStatics.store_lanes.
+        LN = self.statics.store_lanes
+        cap_lines = max(self.config.store_capacity, 2 * K) // LN
         K_eff = effective_row_capacity(self.statics)
         G = self.config.rows_per_dispatch
         row_starts = [r for r in range(0, L, T) if r not in done_rows]
@@ -566,11 +588,11 @@ class MIEngine:
         colmax_d = jnp.asarray(
             np.concatenate([colmax, np.full(self.Lp - L, -np.inf)]), bd
         )
-        mi_s = jnp.zeros(cap, bd)
-        wog_s = jnp.zeros(cap, bd)
-        ip_s = jnp.zeros(cap, jnp.int32)
-        jp_s = jnp.zeros(cap, jnp.int32)
-        offset = jnp.asarray(0, jnp.int32)
+        mi_s = jnp.zeros((cap_lines, LN), bd)
+        wog_s = jnp.zeros((cap_lines, LN), bd)
+        ip_s = jnp.zeros((cap_lines, LN), jnp.int32)
+        jp_s = jnp.zeros((cap_lines, LN), jnp.int32)
+        offset = jnp.asarray(0, jnp.int32)  # in lines
         total = jnp.asarray(0, jnp.int32)
 
         overflow_rows: list[int] = []
@@ -591,7 +613,7 @@ class MIEngine:
             for r, i0 in enumerate(group):
                 done_rows.add(i0)
                 n = int(counts_np[r])
-                expected_offset += min(n, K_eff)
+                expected_offset += -(-min(n, K_eff) // LN)  # lines
                 if n > K_eff:
                     overflow_rows.append(i0)
             if progress is not None:
@@ -625,12 +647,13 @@ class MIEngine:
                 )
 
         t_compute = time.perf_counter() - t_compute0
-        # device appends clamp at cap-K; expected_offset <= cap-K proves
-        # no append was ever clamped (offsets grow monotonically)
-        if expected_offset > cap - K:
+        # device appends clamp at cap-K lines; expected_offset below that
+        # proves no append was ever clamped (offsets grow monotonically)
+        if expected_offset > cap_lines - K // LN:
             raise RuntimeError(
-                f"edge store overflow: {int(total)} edges exceed capacity "
-                f"{cap}; raise --mi-threshold or the engine store_capacity"
+                f"edge store overflow: ~{expected_offset * LN} edge slots "
+                f"exceed capacity {cap_lines * LN}; raise --mi-threshold or "
+                f"the engine store_capacity"
             )
 
         t_fetch0 = time.perf_counter()
@@ -666,7 +689,7 @@ class MIEngine:
             timings["fetch_s"] = t_fetch
             timings["overflow_s"] = time.perf_counter() - t_overflow0
             timings["overflow_rows"] = len(overflow_rows)
-            timings["fetched_edges"] = int(offset)
+            timings["fetched_edges"] = int(offset) * LN
 
         if checkpoint_path and os.path.exists(checkpoint_path):
             os.unlink(checkpoint_path)  # run completed; stale resume data
@@ -681,18 +704,19 @@ class MIEngine:
         )
 
     def _fetch_stores(self, mi_s, wog_s, ip_s, jp_s, offset, colmax_d):
-        """Bulk host fetch of the device edge stores ([:offset]) + colmax.
+        """Bulk host fetch of the device edge stores (lines [:offset]) +
+        colmax.
 
-        Both compaction paths emit dense entries, but overflowed /
-        poisoned rows append zero padding; real edges always satisfy
-        jpos > ipos while padding is (0, 0), so that inequality filters
-        padding exactly."""
-        off = int(offset)
+        Both compaction paths emit dense entries, but sub-line tails and
+        overflowed / poisoned rows hold zero padding; real edges always
+        satisfy jpos > ipos while padding is (0, 0), so that inequality
+        filters padding exactly."""
+        off = int(offset)  # lines
         L = self.L
-        s_i = np.asarray(ip_s[:off], dtype=np.int64)
-        s_j = np.asarray(jp_s[:off], dtype=np.int64)
-        s_m = np.asarray(mi_s[:off], dtype=np.float64)
-        s_w = np.asarray(wog_s[:off], dtype=np.float64)
+        s_i = np.asarray(ip_s[:off]).reshape(-1).astype(np.int64)
+        s_j = np.asarray(jp_s[:off]).reshape(-1).astype(np.int64)
+        s_m = np.asarray(mi_s[:off]).reshape(-1).astype(np.float64)
+        s_w = np.asarray(wog_s[:off]).reshape(-1).astype(np.float64)
         keep = s_j > s_i
         return (s_i[keep], s_j[keep], s_m[keep], s_w[keep],
                 np.asarray(colmax_d[:L], dtype=np.float64))

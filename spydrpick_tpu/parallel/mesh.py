@@ -7,13 +7,17 @@ rebuild turns that into real SPMD (SURVEY §2 parallelism inventory):
 
   * a 1-D ``Mesh`` over axis ``"rows"``;
   * the alignment one-hot / presence tensors are *replicated*;
-  * each device owns one block-row of the upper-triangular tile grid
-    per step (tile data parallelism — the analogue of thread-private
-    ranges);
-  * per-position colmax is merged with ``jax.lax.pmax`` over the mesh
-    axis (the analogue of ``maxvaltracker::join``), and fixed-capacity
-    per-device edge buffers are gathered host-side (the analogue of
-    ``Graph::join``);
+  * each device sweeps groups of block-rows of the upper-triangular
+    tile grid (tile data parallelism — the analogue of thread-private
+    ranges), appending edges to its own *device-resident* fixed-capacity
+    stores — the same design as the single-chip sweep: per step only a
+    replicated (n_dev, G) counts vector reaches the host;
+  * per-position colmax is merged with ``jax.lax.pmax`` at drain time
+    (the analogue of ``maxvaltracker::join``), and the edge stores are
+    merged with an ``all_gather`` of statically-shaped store prefixes
+    (the analogue of ``Graph::join``) — a *collective*, so every process
+    of a multi-host run can address the result (no host fetches of
+    non-addressable shards);
   * block-row costs fall linearly with the row index (upper triangle),
     so rows are scheduled in a balanced interleaving that pairs row r
     with row R-1-r within each device batch.
@@ -25,6 +29,7 @@ over DCN and each step's collectives ride ICI.
 
 from __future__ import annotations
 
+import time
 from functools import partial
 
 import jax
@@ -37,13 +42,27 @@ from spydrpick_tpu.engine.solver import (
     EdgeSet,
     MIEngine,
     SweepStatics,
+    effective_row_capacity,
     row_sweep_core,
+    rows_group_core,
 )
 
 try:  # jax >= 0.6 exposes shard_map at the top level
     shard_map = jax.shard_map
 except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
+
+
+def _smap(**kw):
+    """shard_map with the varying-manual-axes checker off: the fori_loop
+    carries inside row_sweep_core start unvarying (jnp.full) and become
+    device-varying through i0 — semantically fine (each device owns its
+    rows), but the checker rejects the mixed carry type."""
+    import inspect
+
+    params = inspect.signature(shard_map).parameters
+    flag = "check_vma" if "check_vma" in params else "check_rep"
+    return partial(shard_map, **{flag: False}, **kw)
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -54,28 +73,13 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
 
 
 def make_sharded_row_step(mesh: Mesh, st: SweepStatics):
-    """Jitted SPMD step: each device sweeps one block-row.
-
-    Inputs: data (replicated), row_starts (n_dev,) sharded over "rows",
-    threshold (replicated scalar array).
-    Outputs (per device leading axis where sharded): colmax_i
-    (n_dev, T), merged colmax_j (Lp,), edge buffers (n_dev, K), counts.
-    """
+    """Jitted SPMD step: each device sweeps one block-row and returns
+    its K-sized edge buffers (simple one-shot API; the production sweep
+    uses :func:`make_sharded_group_step`'s device-resident stores)."""
     data_specs = jax.tree.map(lambda _: P(), DeviceData(*[0] * 6))
 
-    # check_vma=False: the fori_loop carry inside row_sweep_core starts
-    # as an unvarying jnp.full and becomes device-varying through i0 —
-    # semantically fine (each device owns its row), but the varying-
-    # manual-axes checker rejects the mixed carry type.
-    import inspect
-
-    _params = inspect.signature(shard_map).parameters
-    _flag = "check_vma" if "check_vma" in _params else "check_rep"
-    smap = partial(shard_map, **{_flag: False})
-
     @jax.jit
-    @partial(
-        smap,
+    @_smap(
         mesh=mesh,
         in_specs=(data_specs, P("rows"), P()),
         out_specs=(P("rows"), P(), P("rows"), P("rows"), P("rows"),
@@ -101,6 +105,63 @@ def make_sharded_row_step(mesh: Mesh, st: SweepStatics):
     return step
 
 
+def make_sharded_group_step(mesh: Mesh, st: SweepStatics):
+    """Jitted SPMD step over groups of block-rows with device-resident
+    edge stores (the multi-chip twin of ``MIEngine._rows_group``).
+
+    Per device: sweep its (G,) row_starts (−1 = padding), appending
+    edges to its own (cap,) stores.  Only the all-gathered (n_dev, G)
+    counts and (n_dev,) offsets — a few hundred bytes — are replicated
+    for the host; stores stay on device until :func:`make_drain`.
+    Stores and carries are donated, so they update in place.
+    """
+    data_specs = jax.tree.map(lambda _: P(), DeviceData(*[0] * 6))
+    sh = P("rows")
+
+    @partial(jax.jit, donate_argnums=(3, 4, 5, 6, 7, 8, 9))
+    @_smap(
+        mesh=mesh,
+        in_specs=(data_specs, sh, P(), sh, sh, sh, sh, sh, sh, sh),
+        out_specs=(sh, sh, sh, sh, sh, sh, sh, P(), P()),
+    )
+    def step(data, row_starts, thr, colmax, mi_s, wog_s, ip_s, jp_s,
+             offset, total):
+        (colmax1, mi_s1, wog_s1, ip_s1, jp_s1, offset1, total1, counts) = (
+            rows_group_core(
+                data, st, row_starts[0], thr, colmax[0], mi_s[0], wog_s[0],
+                ip_s[0], jp_s[0], offset[0], total[0],
+            )
+        )
+        counts_all = jax.lax.all_gather(counts, "rows")    # (n_dev, G)
+        offs_all = jax.lax.all_gather(offset1, "rows")     # (n_dev,)
+        return (colmax1[None], mi_s1[None], wog_s1[None], ip_s1[None],
+                jp_s1[None], offset1[None], total1[None],
+                counts_all, offs_all)
+
+    return step
+
+
+def make_drain(mesh: Mesh, st: SweepStatics, m: int):
+    """Collective drain: all-gather the first ``m`` store LINES of every
+    device's (lines, LN) stores (static shape) + pmax-merged colmax,
+    all outputs replicated — addressable on every process of a
+    multi-host run (the analogue of ``Graph::join``, mi.hpp:336-361)."""
+    sh = P("rows")
+
+    @jax.jit
+    @_smap(
+        mesh=mesh,
+        in_specs=(sh, sh, sh, sh, sh),
+        out_specs=(P(), P(), P(), P(), P()),
+    )
+    def drain(mi_s, wog_s, ip_s, jp_s, colmax):
+        cm = jax.lax.pmax(colmax[0], "rows")
+        g = lambda x: jax.lax.all_gather(x[0, :m], "rows")  # (n_dev, m, LN)
+        return g(mi_s), g(wog_s), g(ip_s), g(jp_s), cm
+
+    return drain
+
+
 def balanced_row_order(n_rows: int) -> list[int]:
     """Interleave cheap and expensive rows: [0, R-1, 1, R-2, ...]."""
     order = []
@@ -114,68 +175,218 @@ def balanced_row_order(n_rows: int) -> list[int]:
     return order
 
 
-def sharded_sweep(engine: MIEngine, threshold: float, mesh: Mesh | None = None,
-                  progress=None) -> EdgeSet:
+_DRAIN_GRAIN = 1 << 9  # lines; rounds gather sizes up: bounds drain recompiles
+
+
+def sharded_sweep(
+    engine: MIEngine,
+    threshold: float,
+    mesh: Mesh | None = None,
+    progress=None,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 16,
+    timings: dict | None = None,
+) -> EdgeSet:
     """Multi-device all-pairs sweep; results identical to
     ``MIEngine.sweep`` (shard-count invariance is tested — the analogue
-    of the reference's thread-count invariance, SURVEY §4)."""
+    of the reference's thread-count invariance, SURVEY §4).
+
+    Device-resident stores + collective drain: per step only the
+    replicated counts cross to the host; the edge payload is gathered
+    once at the end (and at checkpoints).  Safe for multi-process runs —
+    no host access to non-addressable shards.
+    """
+    from spydrpick_tpu.engine import checkpoint as ckpt_mod
+
     mesh = mesh or make_mesh()
     st = engine.statics
     n_dev = mesh.devices.size
-    step = make_sharded_row_step(mesh, st)
+    step = make_sharded_group_step(mesh, st)
 
-    from spydrpick_tpu.engine.solver import effective_row_capacity
+    data = engine.data
+    multiprocess = len({d.process_index for d in mesh.devices.flat}) > 1
+    if multiprocess:
+        # commit the replicated operands to the global mesh: every
+        # process holds identical host copies (same alignment), so a
+        # fully-replicated device_put is well-defined across hosts
+        rep = jax.sharding.NamedSharding(mesh, P())
+        data = jax.tree.map(
+            lambda x: jax.device_put(np.asarray(x), rep), engine.data
+        )
 
     L, T, K = st.L, st.tile, st.edge_capacity
     K_eff = effective_row_capacity(st)
-    n_rows = -(-L // T)
-    order = balanced_row_order(n_rows)
-    # pad to a multiple of n_dev by repeating the last row (dropped later)
-    while len(order) % n_dev:
-        order.append(order[-1])
-
-    colmax = np.full(L, -np.inf)
-    all_i, all_j, all_mi, all_wog = [], [], [], []
+    LN = st.store_lanes
+    KL = K // LN
+    G = engine.config.rows_per_dispatch
+    cap_lines = max(engine.config.store_capacity // n_dev, 2 * K) // LN
     bd = jnp.float32 if st.cdtype == jnp.float32 else st.cdtype
     thr = jnp.asarray(threshold, bd)
 
-    done: set[int] = set()
-    for b0 in range(0, len(order), n_dev):
-        batch = order[b0 : b0 + n_dev]
-        row_starts = jnp.asarray([r * T for r in batch], jnp.int32)
-        ci, cj, vals, wogs, ipos_a, jpos_a, counts = jax.tree.map(
-            np.asarray, step(engine.data, row_starts, thr)
+    colmax_host = np.full(L, -np.inf)
+    all_i, all_j, all_mi, all_wog = [], [], [], []
+    done_rows: set[int] = set()
+    ck_key = ckpt_mod.params_key(st, threshold)
+    if checkpoint_path:
+        ck = ckpt_mod.load(checkpoint_path, ck_key)
+        if ck is not None:
+            colmax_host = ck.colmax
+            all_i, all_j, all_mi, all_wog = ck.ipos, ck.jpos, ck.mi, ck.mi_wog
+            done_rows = ck.done_rows
+
+    n_rows = -(-L // T)
+    order = [r * T for r in balanced_row_order(n_rows) if r * T not in done_rows]
+    # pad to a multiple of n_dev*G with skip markers
+    per_step = n_dev * G
+    while len(order) % per_step:
+        order.append(-1)
+
+    def shard_init(shape, dtype, fill=0):
+        arr = np.full(shape, fill, dtype)
+        return jax.device_put(
+            arr, jax.sharding.NamedSharding(mesh, P("rows"))
         )
-        colmax = np.maximum(colmax, cj[:L])
-        for d, r in enumerate(batch):
-            if r in done:
-                continue
-            done.add(r)
-            i0 = r * T
-            hi = min(i0 + T, L)
-            colmax[i0:hi] = np.maximum(colmax[i0:hi], ci[d, : hi - i0])
-            n = int(counts[d])
-            if n > K_eff:
-                # overflow: fall back to the single-device full-row path
-                mi_buf, wog_buf, store_base, _ = jax.tree.map(
-                    np.asarray, engine._row_full(engine.data, i0=jnp.asarray(i0, jnp.int32))
+
+    colmax_d = shard_init((n_dev, st.Lp), np.dtype(bd), -np.inf)
+    mi_s = shard_init((n_dev, cap_lines, LN), np.dtype(bd))
+    wog_s = shard_init((n_dev, cap_lines, LN), np.dtype(bd))
+    ip_s = shard_init((n_dev, cap_lines, LN), np.int32)
+    jp_s = shard_init((n_dev, cap_lines, LN), np.int32)
+    offset = shard_init((n_dev,), np.int32)  # in lines
+    total = shard_init((n_dev,), np.int32)
+
+    row_spec = jax.sharding.NamedSharding(mesh, P("rows"))
+
+    drains: dict[int, object] = {}
+
+    def drain_now(mi_s, wog_s, ip_s, jp_s, colmax_d, offs):
+        """Gather valid store line-prefixes from every device
+        (replicated outputs; ``offs`` is per-device line counts)."""
+        m = max(int(offs.max()), 1)
+        m = min(-(-m // _DRAIN_GRAIN) * _DRAIN_GRAIN, cap_lines)
+        if m not in drains:
+            drains[m] = make_drain(mesh, st, m)
+        g_mi, g_wog, g_ip, g_jp, cm = drains[m](mi_s, wog_s, ip_s, jp_s, colmax_d)
+        g_mi, g_wog, g_ip, g_jp, cm = jax.tree.map(
+            np.asarray, (g_mi, g_wog, g_ip, g_jp, cm)
+        )
+        outs = ([], [], [], [])
+        for d in range(n_dev):
+            n = int(offs[d])
+            ii = g_ip[d, :n].reshape(-1)
+            jj = g_jp[d, :n].reshape(-1)
+            keep = jj > ii  # drop zero-padding holes
+            outs[0].append(ii[keep].astype(np.int64))
+            outs[1].append(jj[keep].astype(np.int64))
+            outs[2].append(g_mi[d, :n].reshape(-1)[keep].astype(np.float64))
+            outs[3].append(g_wog[d, :n].reshape(-1)[keep].astype(np.float64))
+        cat = lambda xs: np.concatenate(xs) if xs else np.empty(0)
+        return tuple(cat(x) for x in outs) + (cm[:L].astype(np.float64),)
+
+    overflow_rows: list[int] = []
+    expected_off = np.zeros(n_dev, np.int64)
+    offs_np = np.zeros(n_dev, np.int32)
+    ck_rows = 0
+    t_compute0 = time.perf_counter()
+    steps = [order[s0 : s0 + per_step] for s0 in range(0, len(order), per_step)]
+    for batch in steps:
+        t0 = time.perf_counter()
+        # device d gets batch[d::n_dev]: a cheap/expensive mix from the
+        # balanced interleaving
+        starts = np.full((n_dev, G), -1, np.int32)
+        for d in range(n_dev):
+            mine = batch[d::n_dev]
+            starts[d, : len(mine)] = mine
+        starts_d = jax.device_put(starts, row_spec)
+        (colmax_d, mi_s, wog_s, ip_s, jp_s, offset, total,
+         counts, offs) = step(
+            engine.data, starts_d, thr, colmax_d, mi_s, wog_s, ip_s, jp_s,
+            offset, total,
+        )
+        counts_np = np.asarray(counts)  # replicated: safe on any process
+        offs_np = np.asarray(offs)
+        for d in range(n_dev):
+            for g in range(G):
+                i0 = int(starts[d, g])
+                if i0 < 0:
+                    continue
+                done_rows.add(i0)
+                n = int(counts_np[d, g])
+                expected_off[d] += -(-min(n, K_eff) // LN)  # lines
+                if n > K_eff:
+                    overflow_rows.append(i0)
+        if progress is not None:
+            live = starts[starts >= 0]
+            progress(int(live.min()), int(live.max()) + T,
+                     int(counts_np.sum()), time.perf_counter() - t0)
+        ck_rows += per_step
+        if checkpoint_path and ck_rows >= checkpoint_every and batch is not steps[-1]:
+            ck_rows = 0
+            s_i, s_j, s_m, s_w, s_c = drain_now(
+                mi_s, wog_s, ip_s, jp_s, colmax_d, offs_np
+            )
+            save_done = done_rows
+            if overflow_rows:  # overflowed rows hold truncated edges:
+                ov = np.asarray(overflow_rows, np.int64)
+                bad = np.isin((s_i // T) * T, ov)
+                s_i, s_j = s_i[~bad], s_j[~bad]
+                s_m, s_w = s_m[~bad], s_w[~bad]
+                save_done = done_rows - set(overflow_rows)
+            if jax.process_index() == 0:
+                ckpt_mod.save(
+                    checkpoint_path,
+                    ckpt_mod.SweepCheckpoint(
+                        ck_key, save_done, np.maximum(colmax_host, s_c),
+                        all_i + [s_i], all_j + [s_j],
+                        all_mi + [s_m], all_wog + [s_w],
+                    ),
                 )
-                mask = store_base & (mi_buf > threshold)
-                ii, jj = np.nonzero(mask)
-                all_i.append(i0 + ii.astype(np.int64))
-                all_j.append(jj.astype(np.int64))
-                all_mi.append(mi_buf[mask].astype(np.float64))
-                all_wog.append(wog_buf[mask].astype(np.float64))
-            elif n > 0:
-                # guard against zero padding (jpos > ipos holds for every
-                # real edge; padding is (0, 0))
-                keep = jpos_a[d, :n] > ipos_a[d, :n]
-                all_i.append(ipos_a[d, :n][keep].astype(np.int64))
-                all_j.append(jpos_a[d, :n][keep].astype(np.int64))
-                all_mi.append(vals[d, :n][keep].astype(np.float64))
-                all_wog.append(wogs[d, :n][keep].astype(np.float64))
-            if progress is not None:
-                progress(i0, min(i0 + T, L), n, 0.0)
+    t_compute = time.perf_counter() - t_compute0
+
+    if (expected_off > cap_lines - KL).any():
+        raise RuntimeError(
+            f"edge store overflow: per-device capacity {cap_lines * LN} "
+            f"exceeded; raise --mi-threshold or the engine store_capacity"
+        )
+
+    t_fetch0 = time.perf_counter()
+    s_i, s_j, s_m, s_w, s_c = drain_now(mi_s, wog_s, ip_s, jp_s, colmax_d, offs_np)
+    t_fetch = time.perf_counter() - t_fetch0
+    colmax_host = np.maximum(colmax_host, s_c)
+
+    t_overflow0 = time.perf_counter()
+    if overflow_rows:
+        bad = np.isin((s_i // T) * T, np.asarray(overflow_rows, np.int64))
+        s_i, s_j, s_m, s_w = s_i[~bad], s_j[~bad], s_m[~bad], s_w[~bad]
+        for i0 in overflow_rows:
+            # replicated re-extraction: identical on every process
+            mi_buf, wog_buf, store_base, _ = jax.tree.map(
+                np.asarray,
+                engine._row_full(engine.data, i0=jnp.asarray(i0, jnp.int32)),
+            )
+            mask = store_base & (mi_buf > threshold)
+            ii, jj = np.nonzero(mask)
+            all_i.append(i0 + ii.astype(np.int64))
+            all_j.append(jj.astype(np.int64))
+            all_mi.append(mi_buf[mask].astype(np.float64))
+            all_wog.append(wog_buf[mask].astype(np.float64))
+    all_i.append(s_i)
+    all_j.append(s_j)
+    all_mi.append(s_m)
+    all_wog.append(s_w)
+
+    if timings is not None:
+        timings["compute_s"] = t_compute
+        timings["fetch_s"] = t_fetch
+        timings["overflow_s"] = time.perf_counter() - t_overflow0
+        timings["overflow_rows"] = len(overflow_rows)
+        timings["fetched_edges"] = int(offs_np.sum()) * LN
+
+    if checkpoint_path and jax.process_index() == 0:
+        import os
+
+        if os.path.exists(checkpoint_path):
+            os.unlink(checkpoint_path)  # run completed; stale resume data
 
     cat = lambda xs, dt: np.concatenate(xs) if xs else np.empty(0, dt)
     return EdgeSet(
@@ -183,5 +394,5 @@ def sharded_sweep(engine: MIEngine, threshold: float, mesh: Mesh | None = None,
         jpos=cat(all_j, np.int64),
         mi=cat(all_mi, np.float64),
         mi_wog=cat(all_wog, np.float64),
-        colmax=colmax,
+        colmax=colmax_host,
     )

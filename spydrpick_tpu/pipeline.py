@@ -242,16 +242,12 @@ def run_pipeline(opts: PipelineOptions, write_outputs: bool = True) -> PipelineR
 
             from spydrpick_tpu.parallel.mesh import sharded_sweep
 
-            if opts.checkpoint:
-                print(
-                    "spydrpick-tpu WARNING: --checkpoint is not supported with "
-                    "--sharded; the sweep will not be resumable",
-                    file=sys.stderr,
-                )
             if len(jax.devices()) > 1:
                 edges = sharded_sweep(
                     engine, mi_threshold,
                     progress=progress if opts.verbose else None,
+                    checkpoint_path=opts.checkpoint,
+                    checkpoint_every=opts.checkpoint_every,
                 )
             else:
                 _log(opts, "only one device visible; using single-device sweep")
