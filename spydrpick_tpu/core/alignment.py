@@ -120,12 +120,28 @@ class Alignment:
 
     # --- statistics dump (apegrunt Alignment::statistics, SpydrPick.cpp:279) ---
     def statistics_string(self) -> str:
+        """Multi-line alignment statistics (the role of apegrunt's
+        ``Alignment::statistics(ostream)`` dumped by the reference when
+        ``--output-state-frequencies`` is set, src/SpydrPick.cpp:275-282):
+        shape, effective (weighted) size, overall and per-state symbol
+        frequencies, gap occupancy, and the column allele-cardinality
+        spectrum (how many columns are mono/bi/tri/quad/penta-state)."""
         counts = self.state_counts
         total = counts.sum()
         freqs = counts.sum(axis=0) / max(total, 1)
+        n_states_per_col = self.state_presence.sum(axis=1)
+        card = np.bincount(n_states_per_col, minlength=N_STATES + 1)
+        gaps = counts[:, GAP_STATE].sum()
+        cols_with_gaps = int(self.gap_presence.sum())
         lines = [
-            f"alignment \"{self.id_string}\": {self.n_samples} samples x {self.n_loci} loci",
+            f"alignment \"{self.id_string}\": {self.n_samples} samples x "
+            f"{self.n_loci} loci ({self.n_original_positions} original positions)",
+            f"effective (weighted) size: {self.effective_size:.2f}",
             "state frequencies: "
             + " ".join(f"{sym}={f:.4f}" for sym, f in zip("ACGT-", freqs)),
+            f"gaps: {gaps} ({gaps / max(total, 1):.2%} of symbols); "
+            f"{cols_with_gaps} of {self.n_loci} columns contain gaps",
+            "column state cardinality: "
+            + " ".join(f"{k}-state={int(card[k])}" for k in range(1, N_STATES + 1)),
         ]
         return "\n".join(lines)

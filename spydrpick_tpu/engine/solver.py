@@ -69,9 +69,11 @@ class EngineConfig:
     # fused Pallas MI kernel (ops/mi_pallas.py): "auto" enables it on
     # TPU when the tile is a multiple of its 128-column block
     use_pallas: str = "auto"   # "auto" | "on" | "off"
-    # Pallas edge-compaction kernel (ops/compact_pallas.py): "auto"
-    # follows use_pallas (TPU only)
-    use_pallas_compact: str = "auto"  # "auto" | "on" | "off"
+    # edge-compaction path: "route" (ops/compact_route.py, exact
+    # scatter-free roll-routing — the fast path on TPU and the default),
+    # "on"/"pallas" (ops/compact_pallas.py), "off"/"xla" (cumsum+
+    # scatter).  "auto" = route.
+    use_pallas_compact: str = "auto"
     verbose: bool = False
 
 
@@ -103,7 +105,7 @@ class SweepStatics:
     compute_dtype: str
     matmul_precision: str = "highest"
     use_pallas: bool = False
-    use_pallas_compact: bool = False
+    compaction: str = "xla"  # "xla" | "pallas" | "route"
 
     @property
     def cdtype(self):
@@ -280,9 +282,14 @@ def row_sweep_core(data: DeviceData, st: SweepStatics, i0, threshold):
     """One block-row: colmax parts + compacted thresholded edges.
 
     Returns (colmax_i (T,), colmax_j (Lp,), vals (K,), wogs (K,),
-    ipos (K,) int32 global, jpos (K,) int32, count).
+    ipos (K,) int32 global, jpos (K,) int32, count, lines):
+    ``count`` is the true edge count (poisoned to 2^30 on window
+    overflow), ``lines`` the number of valid LN-wide store lines the
+    K window holds (sub-line tails are zero padding with jpos = 0,
+    dropped by the jpos > ipos fetch filter).
     """
     K = st.edge_capacity
+    LN = st.store_lanes
     T = st.tile
     mi_buf, wog_buf = row_buffers(data, st, i0)
     store_base, colmax_mask = row_masks(data, st, i0)
@@ -292,16 +299,29 @@ def row_sweep_core(data: DeviceData, st: SweepStatics, i0, threshold):
     colmax_i = jnp.max(masked, axis=1)   # (T,) maxima for rows i0..i0+T
     colmax_j = jnp.max(masked, axis=0)   # (Lp,) contributions to j positions
 
-    if st.use_pallas_compact:
-        # streaming Pallas compaction: XLA's cumsum+scatter lowering is
-        # ~50 ms per (512, 8192) row — the dominant sweep cost
+    if st.compaction == "route":
+        # scatter-free roll-routing (see ops/compact_route.py): element
+        # gather/scatter runs ~50 ns/element on TPU — ~100 ms per row
+        from spydrpick_tpu.ops.compact_route import compact_edges_route
+
+        store = store_base & (mi_buf > threshold)
+        vals, wogs, ipos, jpos, count, lines = compact_edges_route(
+            mi_buf, wog_buf, store, i0, K, LN
+        )
+        return (colmax_i, colmax_j, vals.astype(mi_buf.dtype),
+                wogs.astype(mi_buf.dtype), ipos, jpos, count, lines)
+
+    if st.compaction == "pallas":
+        # streaming Pallas compaction (superseded by "route": its dense
+        # repack phase is an element gather, ~100 ms/row on hardware)
         from spydrpick_tpu.ops.compact_pallas import compact_edges_pallas
 
         vals, wogs, ipos, jpos, count = compact_edges_pallas(
             mi_buf, wog_buf, i0, threshold, st.L, K
         )
+        lines = (jnp.minimum(count, K) + LN - 1) // LN
         return (colmax_i, colmax_j, vals.astype(mi_buf.dtype),
-                wogs.astype(mi_buf.dtype), ipos, jpos, count)
+                wogs.astype(mi_buf.dtype), ipos, jpos, count, lines)
 
     store = store_base & (mi_buf > threshold)
     flat_mask = store.reshape(-1)
@@ -319,7 +339,8 @@ def row_sweep_core(data: DeviceData, st: SweepStatics, i0, threshold):
     wogs = jnp.take(wog_buf.reshape(-1), idxs)
     ipos = (i0 + idxs // st.Lp).astype(jnp.int32)
     jpos = (idxs % st.Lp).astype(jnp.int32)
-    return colmax_i, colmax_j, vals, wogs, ipos, jpos, count
+    lines = (jnp.minimum(count, K) + LN - 1) // LN
+    return colmax_i, colmax_j, vals, wogs, ipos, jpos, count, lines
 
 
 def rows_group_core(
@@ -353,8 +374,8 @@ def rows_group_core(
 
     def one_row(i0, carry):
         colmax, mi_s, wog_s, ip_s, jp_s, offset, total = carry
-        colmax_i, colmax_j, vals, wogs, ipos, jpos, count = row_sweep_core(
-            data, st, i0, threshold
+        colmax_i, colmax_j, vals, wogs, ipos, jpos, count, lines = (
+            row_sweep_core(data, st, i0, threshold)
         )
         colmax = jnp.maximum(colmax, colmax_j)
         cur = jax.lax.dynamic_slice(colmax, (i0,), (T,))
@@ -367,26 +388,26 @@ def rows_group_core(
         wog_s = jax.lax.dynamic_update_slice(wog_s, to2d(wogs), (off_w, 0))
         ip_s = jax.lax.dynamic_update_slice(ip_s, to2d(ipos), (off_w, 0))
         jp_s = jax.lax.dynamic_update_slice(jp_s, to2d(jpos), (off_w, 0))
-        n_lines = (jnp.minimum(count, KE) + LN - 1) // LN
-        offset = off_w + n_lines
+        offset = off_w + jnp.minimum(lines, KL)
         total = total + count
-        return (colmax, mi_s, wog_s, ip_s, jp_s, offset, total), count
+        return (colmax, mi_s, wog_s, ip_s, jp_s, offset, total), count, lines
 
     def body(r, state):
-        carry, counts = state
+        carry, counts, lines_a = state
         i0 = row_starts[r]
-        new_carry, count = jax.lax.cond(
+        new_carry, count, lines = jax.lax.cond(
             i0 >= 0,
             lambda c: one_row(i0, c),
-            lambda c: (c, jnp.int32(0)),
+            lambda c: (c, jnp.int32(0), jnp.int32(0)),
             carry,
         )
-        return new_carry, counts.at[r].set(count)
+        return new_carry, counts.at[r].set(count), lines_a.at[r].set(lines)
 
     carry = (colmax, mi_s, wog_s, ip_s, jp_s, offset, total)
     counts0 = jnp.zeros(G, jnp.int32)
-    carry, counts = jax.lax.fori_loop(0, G, body, (carry, counts0))
-    return (*carry, counts)
+    carry, counts, lines_a = jax.lax.fori_loop(
+        0, G, body, (carry, counts0, counts0))
+    return (*carry, counts, lines_a)
 
 
 def row_full_core(data: DeviceData, st: SweepStatics, i0):
@@ -439,12 +460,11 @@ def build_device_data(alignment: Alignment, config: EngineConfig) -> tuple[Devic
             and tile % _BI == 0
             and cdtype == jnp.float32
         )
-    if config.use_pallas_compact == "on":
-        use_pallas_compact = True
-    elif config.use_pallas_compact == "off":
-        use_pallas_compact = False
-    else:
-        use_pallas_compact = use_pallas
+    compaction = {
+        "on": "pallas", "pallas": "pallas",
+        "off": "xla", "xla": "xla",
+        "route": "route", "auto": "route",
+    }[config.use_pallas_compact]
     n_samples = S
     if use_pallas:
         S = _ceil_to(S, _BS)  # zero sample rows are exact no-ops
@@ -493,7 +513,7 @@ def build_device_data(alignment: Alignment, config: EngineConfig) -> tuple[Devic
         compute_dtype=config.compute_dtype,
         matmul_precision=config.matmul_precision,
         use_pallas=use_pallas,
-        use_pallas_compact=use_pallas_compact,
+        compaction=compaction,
     )
     return data, statics
 
@@ -603,17 +623,17 @@ class MIEngine:
         for group in groups:
             t0 = time.perf_counter()
             padded = group + [-1] * (G - len(group))
-            (colmax_d, mi_s, wog_s, ip_s, jp_s, offset, total, counts) = (
-                self._rows_group(
-                    self.data, jnp.asarray(padded, jnp.int32), thr,
-                    colmax_d, mi_s, wog_s, ip_s, jp_s, offset, total,
-                )
+            (colmax_d, mi_s, wog_s, ip_s, jp_s, offset, total, counts,
+             lines_a) = self._rows_group(
+                self.data, jnp.asarray(padded, jnp.int32), thr,
+                colmax_d, mi_s, wog_s, ip_s, jp_s, offset, total,
             )
             counts_np = np.asarray(counts)  # small fetch; syncs the step
+            lines_np = np.asarray(lines_a)
             for r, i0 in enumerate(group):
                 done_rows.add(i0)
                 n = int(counts_np[r])
-                expected_offset += -(-min(n, K_eff) // LN)  # lines
+                expected_offset += min(int(lines_np[r]), K // LN)
                 if n > K_eff:
                     overflow_rows.append(i0)
             if progress is not None:

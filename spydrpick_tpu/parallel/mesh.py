@@ -87,7 +87,7 @@ def make_sharded_row_step(mesh: Mesh, st: SweepStatics):
     )
     def step(data, row_starts, threshold):
         i0 = row_starts[0]  # one row per device in this batch
-        colmax_i, colmax_j, vals, wogs, ipos, jpos, count = row_sweep_core(
+        colmax_i, colmax_j, vals, wogs, ipos, jpos, count, _ = row_sweep_core(
             data, st, i0, threshold
         )
         # the analogue of maxvaltracker::join (mi.hpp:256-265):
@@ -122,21 +122,21 @@ def make_sharded_group_step(mesh: Mesh, st: SweepStatics):
     @_smap(
         mesh=mesh,
         in_specs=(data_specs, sh, P(), sh, sh, sh, sh, sh, sh, sh),
-        out_specs=(sh, sh, sh, sh, sh, sh, sh, P(), P()),
+        out_specs=(sh, sh, sh, sh, sh, sh, sh, P(), P(), P()),
     )
     def step(data, row_starts, thr, colmax, mi_s, wog_s, ip_s, jp_s,
              offset, total):
-        (colmax1, mi_s1, wog_s1, ip_s1, jp_s1, offset1, total1, counts) = (
-            rows_group_core(
-                data, st, row_starts[0], thr, colmax[0], mi_s[0], wog_s[0],
-                ip_s[0], jp_s[0], offset[0], total[0],
-            )
+        (colmax1, mi_s1, wog_s1, ip_s1, jp_s1, offset1, total1, counts,
+         lines) = rows_group_core(
+            data, st, row_starts[0], thr, colmax[0], mi_s[0], wog_s[0],
+            ip_s[0], jp_s[0], offset[0], total[0],
         )
         counts_all = jax.lax.all_gather(counts, "rows")    # (n_dev, G)
+        lines_all = jax.lax.all_gather(lines, "rows")      # (n_dev, G)
         offs_all = jax.lax.all_gather(offset1, "rows")     # (n_dev,)
         return (colmax1[None], mi_s1[None], wog_s1[None], ip_s1[None],
                 jp_s1[None], offset1[None], total1[None],
-                counts_all, offs_all)
+                counts_all, lines_all, offs_all)
 
     return step
 
@@ -299,11 +299,12 @@ def sharded_sweep(
             starts[d, : len(mine)] = mine
         starts_d = jax.device_put(starts, row_spec)
         (colmax_d, mi_s, wog_s, ip_s, jp_s, offset, total,
-         counts, offs) = step(
+         counts, lines_b, offs) = step(
             engine.data, starts_d, thr, colmax_d, mi_s, wog_s, ip_s, jp_s,
             offset, total,
         )
         counts_np = np.asarray(counts)  # replicated: safe on any process
+        lines_np = np.asarray(lines_b)
         offs_np = np.asarray(offs)
         for d in range(n_dev):
             for g in range(G):
@@ -312,7 +313,7 @@ def sharded_sweep(
                     continue
                 done_rows.add(i0)
                 n = int(counts_np[d, g])
-                expected_off[d] += -(-min(n, K_eff) // LN)  # lines
+                expected_off[d] += min(int(lines_np[d, g]), KL)
                 if n > K_eff:
                     overflow_rows.append(i0)
         if progress is not None:

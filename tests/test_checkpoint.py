@@ -48,16 +48,16 @@ def test_sweep_resume_matches_clean_run(tmp_path):
     import jax.numpy as jnp
 
     for i0 in partial_rows:
-        ci, cj, vals, wogs, ipos, jpos, count = jax.tree.map(
+        ci, cj, vals, wogs, ipos, jpos, count, lines = jax.tree.map(
             np.asarray,
             engine._row_sweep(engine.data, i0=jnp.asarray(i0, jnp.int32),
                               threshold=jnp.asarray(0.02, jnp.float32)),
         )
-        n = int(count)
-        all_i.append(ipos[:n].astype(np.int64))
-        all_j.append(jpos[:n].astype(np.int64))
-        all_mi.append(vals[:n].astype(np.float64))
-        all_wog.append(wogs[:n].astype(np.float64))
+        keep = jpos > ipos  # line-packed window: drop zero-pad holes
+        all_i.append(ipos[keep].astype(np.int64))
+        all_j.append(jpos[keep].astype(np.int64))
+        all_mi.append(vals[keep].astype(np.float64))
+        all_wog.append(wogs[keep].astype(np.float64))
         hi = min(i0 + 8, al.n_loci)
         colmax[i0:hi] = np.maximum(colmax[i0:hi], ci[: hi - i0])
         colmax = np.maximum(colmax, cj[: al.n_loci])
