@@ -131,7 +131,8 @@ def main():
     print("# data built", flush=True)
     engine = MIEngine(
         al,
-        EngineConfig(tile=tile, use_pallas_compact=compact),
+        EngineConfig(tile=tile, use_pallas_compact=compact,
+                     wog_fetch=os.environ.get("BENCH_WOG_FETCH", "outliers")),
     )
     print("# engine ready", flush=True)
 

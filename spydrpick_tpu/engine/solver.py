@@ -74,6 +74,14 @@ class EngineConfig:
     # "on"/"pallas" (ops/compact_pallas.py), "off"/"xla" (cumsum+
     # scatter).  "auto" = route.
     use_pallas_compact: str = "auto"
+    # drain policy for the gaps-excluded MI variant ("full" fetches the
+    # whole wog store alongside mi; "outliers" leaves it on device and
+    # gathers only the store lines holding outlier candidates
+    # (mi >= outlier threshold) at the end — the only edges whose wog
+    # the output surface ever reads (SpydrPick.hpp:100-124).  The
+    # pipeline/bench use "outliers"; "auto" = "full" so library users
+    # and the oracle tests get exact mi_wog for every edge.)
+    wog_fetch: str = "auto"  # "auto" | "full" | "outliers"
     verbose: bool = False
 
 
@@ -433,6 +441,45 @@ def pairs_mi_core(data: DeviceData, st: SweepStatics, ipos, jpos):
     return mi_from_crosstabs(C, ip, jp, st.pseudocount)
 
 
+_FETCH_CHUNK_LINES = 2048  # store lines per drain transfer (1 MB of f32 mi)
+
+
+def fetch_chunk_core(mi_s, wog_s, ip_s, jp_s, c0, st: SweepStatics,
+                     ch: int, include_wog: bool):
+    """Packed host-drain slice of the edge stores: ``ch`` lines starting
+    at line ``c0`` (static shape — compiled once; the legacy ``[:off]``
+    fetch paid a fresh slice compile per distinct offset).
+
+    With the "route" compaction every store line belongs to exactly one
+    i-row (per-row line-granular assembly, ops/compact_route.py), so
+    ipos travels once per line (lane 0) instead of once per edge; the
+    xla/pallas compactions emit whole-block K windows whose lines mix
+    i-rows, so ipos travels per edge there.  jpos travels as uint16
+    when it fits — 772 B per 128-edge line instead of 2048 B for the
+    four f32/i32 buffers.
+    """
+    CH = ch
+    mi = jax.lax.dynamic_slice_in_dim(mi_s, c0, CH, 0)
+    ip = jax.lax.dynamic_slice_in_dim(ip_s, c0, CH, 0)
+    if st.compaction == "route":
+        ip = ip[:, 0]
+    elif st.Lp <= (1 << 16):
+        ip = ip.astype(jnp.uint16)
+    jp = jax.lax.dynamic_slice_in_dim(jp_s, c0, CH, 0)
+    if st.Lp <= (1 << 16):
+        jp = jp.astype(jnp.uint16)
+    out = (mi, ip, jp)
+    if include_wog:
+        out += (jax.lax.dynamic_slice_in_dim(wog_s, c0, CH, 0),)
+    return out
+
+
+def gather_wog_lines_core(wog_s, line_idx):
+    """Line-granular gather of the on-device wog store (the deferred
+    "outliers" drain: only lines holding outlier candidates travel)."""
+    return jnp.take(wog_s, line_idx, axis=0)
+
+
 # ---------------------------------------------------------------------- #
 # engine (host driver)
 # ---------------------------------------------------------------------- #
@@ -542,6 +589,21 @@ class MIEngine:
                                    mi_s, wog_s, ip_s, jp_s, offset, total)
 
         self._rows_group = jax.jit(_group, donate_argnums=(3, 4, 5, 6, 7, 8, 9))
+        # drain chunk size: largest divisor of the store line count
+        # <= _FETCH_CHUNK_LINES, so chunks tile the store exactly
+        import math
+
+        cap_lines = max(config.store_capacity, 2 * config.edge_capacity)
+        cap_lines //= st.store_lanes
+        self._chunk_lines = math.gcd(cap_lines, _FETCH_CHUNK_LINES)
+        self._fetch_chunk = jax.jit(
+            partial(fetch_chunk_core, st=st, ch=self._chunk_lines,
+                    include_wog=False))
+        self._fetch_chunk_wog = jax.jit(
+            partial(fetch_chunk_core, st=st, ch=self._chunk_lines,
+                    include_wog=True))
+        self._gather_wog = jax.jit(gather_wog_lines_core)
+        self._fetch_colmax = jax.jit(lambda c: c[: st.L])
 
     # ------------------------------------------------------------------ #
     def pair_mi(self, ipos: np.ndarray, jpos: np.ndarray, chunk: int = 8192) -> np.ndarray:
@@ -596,14 +658,21 @@ class MIEngine:
 
         # Device-accumulating group sweep: edges append to device-resident
         # stores; per group only the (G,) counts vector crosses the slow
-        # host link, with one bulk fetch at the end (per-row fetches of
-        # the K-sized buffers dominated wall time on the TPU tunnel).
+        # host link.  Without checkpointing the drain is *packed and
+        # overlapped*: completed fixed-size store chunks start their
+        # device->host copy asynchronously while later groups compute
+        # (fetch_chunk_core), so the drain largely hides under compute.
+        # Checkpointed runs keep the legacy bulk fetch (the mid-run
+        # snapshot needs the full wog store anyway).
         # Stores are (lines, LN) 2-D — see SweepStatics.store_lanes.
         LN = self.statics.store_lanes
+        CH = self._chunk_lines
         cap_lines = max(self.config.store_capacity, 2 * K) // LN
         K_eff = effective_row_capacity(self.statics)
         G = self.config.rows_per_dispatch
         row_starts = [r for r in range(0, L, T) if r not in done_rows]
+        packed = checkpoint_path is None
+        wog_full = self.config.wog_fetch != "outliers"
 
         colmax_d = jnp.asarray(
             np.concatenate([colmax, np.full(self.Lp - L, -np.inf)]), bd
@@ -617,6 +686,20 @@ class MIEngine:
 
         overflow_rows: list[int] = []
         expected_offset = 0
+        pending: list[tuple[int, tuple]] = []  # (c0, device chunk arrays)
+
+        def fetch_chunks_upto(watermark: int):
+            """Dispatch async d2h copies of every complete, not-yet-
+            fetched store chunk below ``watermark`` lines."""
+            fetch = self._fetch_chunk_wog if wog_full else self._fetch_chunk
+            while (len(pending) + 1) * CH <= min(watermark, cap_lines):
+                c0 = len(pending) * CH
+                out = fetch(mi_s, wog_s, ip_s, jp_s,
+                            jnp.asarray(c0, jnp.int32))
+                for o in out:
+                    o.copy_to_host_async()
+                pending.append((c0, out))
+
         groups = [row_starts[g0 : g0 + G] for g0 in range(0, len(row_starts), G)]
         ck_rows = 0
         t_compute0 = time.perf_counter()
@@ -636,6 +719,8 @@ class MIEngine:
                 expected_offset += min(int(lines_np[r]), K // LN)
                 if n > K_eff:
                     overflow_rows.append(i0)
+            if packed:
+                fetch_chunks_upto(expected_offset)
             if progress is not None:
                 progress(group[0], min(group[-1] + T, L),
                          int(counts_np.sum()), time.perf_counter() - t0)
@@ -677,9 +762,17 @@ class MIEngine:
             )
 
         t_fetch0 = time.perf_counter()
-        s_i, s_j, s_m, s_w, s_c = self._fetch_stores(
-            mi_s, wog_s, ip_s, jp_s, offset, colmax_d
-        )
+        s_line = s_lane = None
+        if packed:
+            fetch_chunks_upto(_ceil_to(max(expected_offset, 1), CH))
+            (s_i, s_j, s_m, s_w, s_line, s_lane) = self._collect_packed(
+                pending, expected_offset, wog_full
+            )
+            s_c = np.asarray(self._fetch_colmax(colmax_d), dtype=np.float64)
+        else:
+            s_i, s_j, s_m, s_w, s_c = self._fetch_stores(
+                mi_s, wog_s, ip_s, jp_s, offset, colmax_d
+            )
         t_fetch = time.perf_counter() - t_fetch0
         t_overflow0 = time.perf_counter()
         colmax = np.maximum(colmax, s_c)
@@ -687,7 +780,11 @@ class MIEngine:
             # rows whose edge count exceeded the per-row window K: their
             # stored entries are truncated — drop and re-extract on host
             bad = np.isin((s_i // T) * T, np.asarray(overflow_rows, np.int64))
-            s_i, s_j, s_m, s_w = s_i[~bad], s_j[~bad], s_m[~bad], s_w[~bad]
+            s_i, s_j, s_m = s_i[~bad], s_j[~bad], s_m[~bad]
+            if s_w is not None:
+                s_w = s_w[~bad]
+            if s_line is not None:
+                s_line, s_lane = s_line[~bad], s_lane[~bad]
             for i0 in overflow_rows:
                 mi_buf, wog_buf, store_base, _ = jax.tree.map(
                     np.asarray,
@@ -699,6 +796,12 @@ class MIEngine:
                 all_j.append(jj.astype(np.int64))
                 all_mi.append(mi_buf[mask].astype(np.float64))
                 all_wog.append(wog_buf[mask].astype(np.float64))
+        if s_w is None:
+            # deferred drain: gather wog only for the store lines holding
+            # outlier candidates (the only edges whose wog the output
+            # surface reads, SpydrPick.hpp:100-124) — bitwise-identical
+            # to the full fetch for those edges, mi for the rest
+            s_w = self._resolve_deferred_wog(wog_s, s_m, s_line, s_lane, colmax)
         all_i.append(s_i)
         all_j.append(s_j)
         all_mi.append(s_m)
@@ -709,7 +812,11 @@ class MIEngine:
             timings["fetch_s"] = t_fetch
             timings["overflow_s"] = time.perf_counter() - t_overflow0
             timings["overflow_rows"] = len(overflow_rows)
-            timings["fetched_edges"] = int(offset) * LN
+            timings["fetched_edges"] = expected_offset * LN
+            timings["drain"] = (
+                "legacy" if not packed
+                else ("packed+wog" if wog_full else "packed")
+            )
 
         if checkpoint_path and os.path.exists(checkpoint_path):
             os.unlink(checkpoint_path)  # run completed; stale resume data
@@ -740,3 +847,73 @@ class MIEngine:
         keep = s_j > s_i
         return (s_i[keep], s_j[keep], s_m[keep], s_w[keep],
                 np.asarray(colmax_d[:L], dtype=np.float64))
+
+    def _collect_packed(self, pending, off: int, wog_full: bool):
+        """Assemble host edge arrays from the packed chunk fetches
+        (fetch_chunk_core): broadcast the per-line ipos back to edges,
+        widen uint16 jpos, drop zero-padding holes via jpos > ipos.
+
+        Returns (ipos, jpos, mi, wog-or-None, line, lane); line/lane
+        locate each edge in the device store for the deferred wog
+        gather."""
+        LN = self.statics.store_lanes
+        CH = self._chunk_lines
+        ai, aj, am, aw, aline, alane = [], [], [], [], [], []
+        lane_ids = np.tile(np.arange(LN, dtype=np.int32), CH)
+        for c0, out in pending:
+            valid = min(off - c0, CH)
+            if valid <= 0:
+                break
+            mi_a = np.asarray(out[0])[:valid]
+            ip_a = np.asarray(out[1])[:valid]
+            jp_a = np.asarray(out[2])[:valid]
+            if ip_a.ndim == 1:  # route: one i-row per line, broadcast
+                ipb = np.repeat(ip_a.astype(np.int64), LN)
+            else:               # xla/pallas windows mix i-rows per line
+                ipb = ip_a.reshape(-1).astype(np.int64)
+            jpb = jp_a.reshape(-1).astype(np.int64)
+            keep = jpb > ipb
+            ai.append(ipb[keep])
+            aj.append(jpb[keep])
+            am.append(mi_a.reshape(-1)[keep].astype(np.float64))
+            if wog_full:
+                aw.append(
+                    np.asarray(out[3])[:valid].reshape(-1)[keep].astype(np.float64)
+                )
+            aline.append(
+                np.repeat(np.arange(c0, c0 + valid, dtype=np.int64), LN)[keep]
+            )
+            alane.append(lane_ids[: valid * LN][keep])
+        cat = lambda xs, dt: (
+            np.concatenate(xs) if xs else np.empty(0, dt)
+        )
+        return (
+            cat(ai, np.int64), cat(aj, np.int64), cat(am, np.float64),
+            cat(aw, np.float64) if wog_full else None,
+            cat(aline, np.int64), cat(alane, np.int32),
+        )
+
+    def _resolve_deferred_wog(self, wog_s, s_m, s_line, s_lane, colmax):
+        """Deferred "outliers" wog drain: compute the outlier threshold
+        from the final colmax (exactly as the pipeline will,
+        engine/outliers.py), gather the store lines holding candidate
+        edges, and fill their exact wog values; everything below the
+        threshold keeps wog = mi (the output surface never reads it,
+        SpydrPick.hpp:100-124)."""
+        from spydrpick_tpu.engine.outliers import outlier_thresholds
+
+        s_w = s_m.copy()
+        if s_m.size == 0:
+            return s_w
+        thr_out, _ = outlier_thresholds(colmax)
+        cand = s_m >= thr_out
+        if not cand.any():
+            return s_w
+        lines_needed = np.unique(s_line[cand])
+        nb = 1 << max(6, int(lines_needed.size - 1).bit_length())
+        idx = np.zeros(nb, np.int32)
+        idx[: lines_needed.size] = lines_needed
+        g = np.asarray(self._gather_wog(wog_s, jnp.asarray(idx)))
+        pos = np.searchsorted(lines_needed, s_line[cand])
+        s_w[cand] = g[pos, s_lane[cand]].astype(np.float64)
+        return s_w

@@ -300,7 +300,7 @@ def sharded_sweep(
         starts_d = jax.device_put(starts, row_spec)
         (colmax_d, mi_s, wog_s, ip_s, jp_s, offset, total,
          counts, lines_b, offs) = step(
-            engine.data, starts_d, thr, colmax_d, mi_s, wog_s, ip_s, jp_s,
+            data, starts_d, thr, colmax_d, mi_s, wog_s, ip_s, jp_s,
             offset, total,
         )
         counts_np = np.asarray(counts)  # replicated: safe on any process

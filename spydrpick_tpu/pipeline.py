@@ -209,6 +209,9 @@ def run_pipeline(opts: PipelineOptions, write_outputs: bool = True) -> PipelineR
         pseudocount=opts.mi_pseudocount,
         ld_threshold=opts.ld_threshold,
         linear_genome=opts.linear_genome,
+        # the output surface reads wog only for outlier rows
+        # (SpydrPick.hpp:100-124): defer its drain to those store lines
+        wog_fetch="outliers",
         verbose=opts.verbose,
     )
     engine = MIEngine(alignment, config)

@@ -148,3 +148,32 @@ def test_store_capacity_overflow_raises():
                                     store_capacity=128))
     with _pytest.raises(RuntimeError, match="overflow"):
         eng.sweep(-1.0)  # stores everything: 2016 pairs >> 128
+
+
+def test_deferred_wog_drain_matches_full():
+    """wog_fetch="outliers" (the pipeline/bench drain) must hold exact
+    wog for every edge at/above the outlier threshold and mi for the
+    rest (the only wog values the output surface reads,
+    SpydrPick.hpp:100-124)."""
+    from spydrpick_tpu.engine.outliers import outlier_thresholds
+
+    al = random_alignment(n_samples=60, n_loci=120, seed=21, gap_frac=0.2)
+    # plant strong couplings so edges clear the Tukey fence
+    al.codes[:, 100] = al.codes[:, 10]
+    al.codes[:, 110] = al.codes[:, 30]
+    full = MIEngine(al, EngineConfig(tile=16, wog_fetch="full")).sweep(0.01)
+    defer = MIEngine(al, EngineConfig(tile=16, wog_fetch="outliers")).sweep(0.01)
+
+    np.testing.assert_array_equal(full.ipos, defer.ipos)
+    np.testing.assert_array_equal(full.jpos, defer.jpos)
+    np.testing.assert_array_equal(full.mi, defer.mi)
+    np.testing.assert_array_equal(full.colmax, defer.colmax)
+
+    thr_out, _ = outlier_thresholds(full.colmax)
+    cand = full.mi >= thr_out
+    assert cand.any()  # fixture must exercise the gather
+    np.testing.assert_array_equal(full.mi_wog[cand], defer.mi_wog[cand])
+    np.testing.assert_array_equal(defer.mi_wog[~cand], defer.mi[~cand])
+    # and the deferral actually differs somewhere below the threshold
+    # (gap-afflicted edges exist at gap_frac=0.2)
+    assert (full.mi_wog != full.mi).any()
