@@ -118,6 +118,7 @@ def main():
     L = int(os.environ.get("BENCH_LOCI", 30720))
     tile = int(os.environ.get("BENCH_TILE", 512))
     compact = os.environ.get("BENCH_PALLAS_COMPACT", "auto")
+    rows_per_dispatch = int(os.environ.get("BENCH_ROWS", 8))
 
     rng = np.random.default_rng(0)
     codes = rng.integers(0, 4, size=(S, L)).astype(np.uint8)
@@ -134,6 +135,7 @@ def main():
     engine = MIEngine(
         al,
         EngineConfig(tile=tile, use_pallas_compact=compact,
+                     rows_per_dispatch=rows_per_dispatch,
                      wog_fetch=os.environ.get("BENCH_WOG_FETCH", "outliers")),
     )
     print("# engine ready", flush=True)

@@ -114,6 +114,12 @@ class SweepStatics:
     matmul_precision: str = "highest"
     use_pallas: bool = False
     compaction: str = "xla"  # "xla" | "pallas" | "route"
+    # lazy-wog mode (wog_fetch="outliers"): the hot sweep computes and
+    # stores only mi; the gaps-excluded variant is recomputed post-hoc
+    # for outlier-candidate edges via the pairs kernel — the reference
+    # itself evaluates wo-gaps MI only for stored gap-afflicted edges
+    # (mi.hpp:466-490), never for the full tile space.
+    wog_lazy: bool = False
 
     @property
     def cdtype(self):
@@ -213,6 +219,16 @@ def tile_mi_pair(data: DeviceData, st: SweepStatics, xi_w, xj, i0, j0):
     return mi, jnp.where(either, mi_wog, mi)
 
 
+def tile_mi_single(data: DeviceData, st: SweepStatics, xi_w, xj, i0, j0):
+    """mi only for the (i0, j0) tile — the lazy-wog hot path (bit-
+    identical to tile_mi_pair's first output)."""
+    T = st.tile
+    C = crosstab_tile_flat(xi_w, xj, dtype=_buf_dtype(st), precision=st.precision)
+    ipf = jax.lax.dynamic_slice_in_dim(data.presence, i0, T, 0).reshape(-1)
+    jpf = jax.lax.dynamic_slice_in_dim(data.presence, j0, T, 0).reshape(-1)
+    return mi_from_crosstab_flat(C, ipf, jpf, st.pseudocount)
+
+
 def _wog_effective(data: DeviceData, st: SweepStatics, mi, mi_wog, i0, j0):
     """Apply the reference's gap-afflicted defaulting: the stored
     wo-gaps weight is mi unless either column contains gaps
@@ -223,8 +239,16 @@ def _wog_effective(data: DeviceData, st: SweepStatics, mi, mi_wog, i0, j0):
     return jnp.where(gi[:, None] | gj[None, :], mi_wog, mi)
 
 
-def row_buffers(data: DeviceData, st: SweepStatics, i0):
-    """Fill (tile, Lp) MI row buffers for block-row i0 via fori_loop."""
+def row_buffers(data: DeviceData, st: SweepStatics, i0, dual: bool | None = None):
+    """Fill (tile, Lp) MI row buffers for block-row i0 via fori_loop.
+
+    ``dual=False`` (the st.wog_lazy default) computes only the mi
+    buffer and returns (mi_buf, None); the wog variant is recovered
+    post-hoc for the few edges that need it (mi.hpp:466-490 sparsity).
+    ``dual=True`` forces both (overflow re-extraction, oracle tests).
+    """
+    if dual is None:
+        dual = not st.wog_lazy
     T, S = st.tile, st.S
     bd = _buf_dtype(st)
 
@@ -238,17 +262,24 @@ def row_buffers(data: DeviceData, st: SweepStatics, i0):
         xi_w = xi_w.astype(bd)
 
     mi_buf = jnp.full((T, st.Lp), -jnp.inf, dtype=bd)
-    wog_buf = jnp.full((T, st.Lp), -jnp.inf, dtype=bd)
+    wog_buf = jnp.full((T, st.Lp), -jnp.inf, dtype=bd) if dual else None
 
-    def body(c, bufs):
-        mi_buf, wog_buf = bufs
-        j0 = c * T
-        xj = jax.lax.dynamic_slice(data.onehot, (0, j0 * N_STATES), (S, T * N_STATES))
+    def tile_pair(xj, j0):
         if st.use_pallas:
-            from spydrpick_tpu.ops.mi_pallas import mi_tile_pallas
+            from spydrpick_tpu.ops.mi_pallas import (
+                mi_tile_pallas,
+                mi_tile_pallas_single,
+            )
 
             ipf = jax.lax.dynamic_slice_in_dim(data.presence, i0, T, 0).reshape(-1)
             jpf = jax.lax.dynamic_slice_in_dim(data.presence, j0, T, 0).reshape(-1)
+            if not dual:
+                mi = mi_tile_pallas_single(
+                    xi_hi, xi_lo, xj.astype(jnp.bfloat16),
+                    ipf.astype(jnp.float32), jpf.astype(jnp.float32),
+                    pseudocount=st.pseudocount,
+                )
+                return mi, None
             ipwf = jax.lax.dynamic_slice_in_dim(data.presence_wog, i0, T, 0).reshape(-1)
             jpwf = jax.lax.dynamic_slice_in_dim(data.presence_wog, j0, T, 0).reshape(-1)
             mi, mi_wog = mi_tile_pallas(
@@ -257,14 +288,28 @@ def row_buffers(data: DeviceData, st: SweepStatics, i0):
                 ipwf.astype(jnp.float32), jpwf.astype(jnp.float32),
                 pseudocount=st.pseudocount,
             )
-            wog = _wog_effective(data, st, mi, mi_wog, i0, j0)
-        else:
-            mi, wog = tile_mi_pair(data, st, xi_w, xj, i0, j0)
+            return mi, _wog_effective(data, st, mi, mi_wog, i0, j0)
+        if not dual:
+            return tile_mi_single(data, st, xi_w, xj, i0, j0), None
+        return tile_mi_pair(data, st, xi_w, xj, i0, j0)
+
+    def body(c, bufs):
+        mi_buf, wog_buf = bufs
+        j0 = c * T
+        xj = jax.lax.dynamic_slice(data.onehot, (0, j0 * N_STATES), (S, T * N_STATES))
+        mi, wog = tile_pair(xj, j0)
         mi_buf = jax.lax.dynamic_update_slice(mi_buf, mi.astype(bd), (0, j0))
-        wog_buf = jax.lax.dynamic_update_slice(wog_buf, wog.astype(bd), (0, j0))
+        if wog_buf is not None:
+            wog_buf = jax.lax.dynamic_update_slice(wog_buf, wog.astype(bd), (0, j0))
         return mi_buf, wog_buf
 
-    return jax.lax.fori_loop(i0 // T, st.n_chunks, body, (mi_buf, wog_buf))
+    if dual:
+        return jax.lax.fori_loop(i0 // T, st.n_chunks, body,
+                                 (mi_buf, wog_buf))
+    mi_buf = jax.lax.fori_loop(
+        i0 // T, st.n_chunks, lambda c, m: body(c, (m, None))[0], mi_buf
+    )
+    return mi_buf, None
 
 
 def row_masks(data: DeviceData, st: SweepStatics, i0):
@@ -325,8 +370,11 @@ def row_sweep_core(data: DeviceData, st: SweepStatics, i0, threshold):
         from spydrpick_tpu.ops.compact_pallas import compact_edges_pallas
 
         vals, wogs, ipos, jpos, count = compact_edges_pallas(
-            mi_buf, wog_buf, i0, threshold, st.L, K
+            mi_buf, mi_buf if wog_buf is None else wog_buf,
+            i0, threshold, st.L, K
         )
+        if wog_buf is None:
+            wogs = jnp.zeros_like(vals)
         lines = (jnp.minimum(count, K) + LN - 1) // LN
         return (colmax_i, colmax_j, vals.astype(mi_buf.dtype),
                 wogs.astype(mi_buf.dtype), ipos, jpos, count, lines)
@@ -344,7 +392,8 @@ def row_sweep_core(data: DeviceData, st: SweepStatics, i0, threshold):
         .set(jnp.arange(T * st.Lp, dtype=jnp.int32), mode="drop")
     )
     vals = jnp.take(mi_buf.reshape(-1), idxs)
-    wogs = jnp.take(wog_buf.reshape(-1), idxs)
+    wogs = (jnp.zeros_like(vals) if wog_buf is None
+            else jnp.take(wog_buf.reshape(-1), idxs))
     ipos = (i0 + idxs // st.Lp).astype(jnp.int32)
     jpos = (idxs % st.Lp).astype(jnp.int32)
     lines = (jnp.minimum(count, K) + LN - 1) // LN
@@ -419,8 +468,10 @@ def rows_group_core(
 
 
 def row_full_core(data: DeviceData, st: SweepStatics, i0):
-    """Full MI row (host-extraction fallback for capacity overflow)."""
-    mi_buf, wog_buf = row_buffers(data, st, i0)
+    """Full MI row (host-extraction fallback for capacity overflow);
+    always dual — overflow re-extraction needs exact wog for every edge
+    of the row regardless of lazy mode."""
+    mi_buf, wog_buf = row_buffers(data, st, i0, dual=True)
     store_base, colmax_mask = row_masks(data, st, i0)
     return mi_buf, wog_buf, store_base, colmax_mask
 
@@ -439,6 +490,28 @@ def pairs_mi_core(data: DeviceData, st: SweepStatics, ipos, jpos):
     ip = data.presence[ipos]
     jp = data.presence[jpos]
     return mi_from_crosstabs(C, ip, jp, st.pseudocount)
+
+
+def pairs_mi_dual_core(data: DeviceData, st: SweepStatics, ipos, jpos):
+    """(mi, effective wog) for explicit pairs — the lazy-wog resolver.
+
+    The wo-gaps variant reuses the same crosstable with the gap bit
+    cleared from the presence masks, defaulted to mi for pairs where
+    neither column has gaps — the reference's store-then-lookup
+    semantics (mi.hpp:433,466-490 + SpydrPick.hpp:106-107)."""
+    oh3 = data.onehot.reshape(st.S, st.Lp, N_STATES)
+    xi = jnp.take(oh3, ipos, axis=1).astype(st.cdtype)  # (S, P, 5)
+    xj = jnp.take(oh3, jpos, axis=1).astype(st.cdtype)
+    xi_w = xi * data.weights[:, None, None].astype(st.cdtype)
+    C = jnp.einsum("spa,spb->pab", xi_w, xj,
+                   preferred_element_type=_buf_dtype(st),
+                   precision=st.precision)
+    mi = mi_from_crosstabs(C, data.presence[ipos], data.presence[jpos],
+                           st.pseudocount)
+    wog = mi_from_crosstabs(C, data.presence_wog[ipos],
+                            data.presence_wog[jpos], st.pseudocount)
+    either = data.gap[ipos] | data.gap[jpos]
+    return mi, jnp.where(either, wog, mi)
 
 
 _FETCH_CHUNK_LINES = 2048  # store lines per drain transfer (1 MB of f32 mi)
@@ -561,6 +634,7 @@ def build_device_data(alignment: Alignment, config: EngineConfig) -> tuple[Devic
         matmul_precision=config.matmul_precision,
         use_pallas=use_pallas,
         compaction=compaction,
+        wog_lazy=config.wog_fetch == "outliers",
     )
     return data, statics
 
@@ -581,6 +655,7 @@ class MIEngine:
         self._row_sweep = jax.jit(partial(row_sweep_core, st=st))
         self._row_full = jax.jit(partial(row_full_core, st=st))
         self._pairs_mi = jax.jit(partial(pairs_mi_core, st=st))
+        self._pairs_dual = jax.jit(partial(pairs_mi_dual_core, st=st))
         # device-accumulating group sweep; stores donated so the carry
         # stays in place across dispatches
         def _group(data, row_starts, threshold, colmax, mi_s, wog_s, ip_s, jp_s,
@@ -642,6 +717,12 @@ class MIEngine:
         """
         from spydrpick_tpu.engine import checkpoint as ckpt_mod
 
+        if checkpoint_path and self.statics.wog_lazy:
+            raise ValueError(
+                "checkpointing needs the full wog store (snapshots hold "
+                "every edge's wog); build the engine with "
+                "wog_fetch='full'"
+            )
         L, T, K = self.L, self.tile, self.config.edge_capacity
         colmax = np.full(L, -np.inf)
         all_i, all_j, all_mi, all_wog = [], [], [], []
@@ -797,11 +878,12 @@ class MIEngine:
                 all_mi.append(mi_buf[mask].astype(np.float64))
                 all_wog.append(wog_buf[mask].astype(np.float64))
         if s_w is None:
-            # deferred drain: gather wog only for the store lines holding
-            # outlier candidates (the only edges whose wog the output
-            # surface reads, SpydrPick.hpp:100-124) — bitwise-identical
-            # to the full fetch for those edges, mi for the rest
-            s_w = self._resolve_deferred_wog(wog_s, s_m, s_line, s_lane, colmax)
+            # deferred drain: resolve wog only for outlier candidates
+            # (the only edges whose wog the output surface reads,
+            # SpydrPick.hpp:100-124); mi for the rest
+            s_w = self._resolve_deferred_wog(
+                wog_s, s_m, s_i, s_j, s_line, s_lane, colmax
+            )
         all_i.append(s_i)
         all_j.append(s_j)
         all_mi.append(s_m)
@@ -893,13 +975,17 @@ class MIEngine:
             cat(aline, np.int64), cat(alane, np.int32),
         )
 
-    def _resolve_deferred_wog(self, wog_s, s_m, s_line, s_lane, colmax):
+    def _resolve_deferred_wog(self, wog_s, s_m, s_i, s_j, s_line, s_lane,
+                              colmax):
         """Deferred "outliers" wog drain: compute the outlier threshold
         from the final colmax (exactly as the pipeline will,
-        engine/outliers.py), gather the store lines holding candidate
-        edges, and fill their exact wog values; everything below the
-        threshold keeps wog = mi (the output surface never reads it,
-        SpydrPick.hpp:100-124)."""
+        engine/outliers.py) and fill exact wog values for candidate
+        edges only; everything below the threshold keeps wog = mi (the
+        output surface never reads it, SpydrPick.hpp:100-124).
+
+        In lazy mode (st.wog_lazy — the sweep never computed wog) the
+        values come from the pairs kernel (pairs_mi_dual_core); in dual
+        mode they are gathered from the on-device wog store lines."""
         from spydrpick_tpu.engine.outliers import outlier_thresholds
 
         s_w = s_m.copy()
@@ -909,6 +995,9 @@ class MIEngine:
         cand = s_m >= thr_out
         if not cand.any():
             return s_w
+        if self.statics.wog_lazy:
+            s_w[cand] = self.pair_wog(s_i[cand], s_j[cand])
+            return s_w
         lines_needed = np.unique(s_line[cand])
         nb = 1 << max(6, int(lines_needed.size - 1).bit_length())
         idx = np.zeros(nb, np.int32)
@@ -917,3 +1006,22 @@ class MIEngine:
         pos = np.searchsorted(lines_needed, s_line[cand])
         s_w[cand] = g[pos, s_lane[cand]].astype(np.float64)
         return s_w
+
+    def pair_wog(self, ipos: np.ndarray, jpos: np.ndarray,
+                 chunk: int = 8192) -> np.ndarray:
+        """Effective wo-gaps MI for explicit pairs (lazy-wog resolver),
+        chunked to a single static shape."""
+        P = len(ipos)
+        out = np.empty(P, dtype=np.float64)
+        for c0 in range(0, P, chunk):
+            ii = np.asarray(ipos[c0 : c0 + chunk], dtype=np.int32)
+            jj = np.asarray(jpos[c0 : c0 + chunk], dtype=np.int32)
+            n = len(ii)
+            if n < chunk:
+                ii = np.pad(ii, (0, chunk - n))
+                jj = np.pad(jj, (0, chunk - n))
+            _, wog = self._pairs_dual(
+                self.data, ipos=jnp.asarray(ii), jpos=jnp.asarray(jj)
+            )
+            out[c0 : c0 + n] = np.asarray(wog)[:n]
+        return out

@@ -70,6 +70,9 @@ def route_rows(mask: jnp.ndarray, payloads: tuple[jnp.ndarray, ...]):
 def compact_edges_route(mi_buf, wog_buf, store_mask, i0, K: int, LN: int = 128):
     """(T, Lp) buffers + store mask -> store-format dense K window.
 
+    ``wog_buf`` may be None (lazy-wog mode): the wog output is then all
+    zeros and only two payloads are routed.
+
     Returns (vals, wogs, ipos, jpos, count, lines):
       * the (K,) outputs are ``lines`` 128-lane lines of line-packed
         edges (per i-row: ``ceil(count_i/LN)`` lines, zero-padded
@@ -85,7 +88,8 @@ def compact_edges_route(mi_buf, wog_buf, store_mask, i0, K: int, LN: int = 128):
         pad = LN - Lp % LN
         padc = [(0, 0), (0, pad)]
         mi_buf = jnp.pad(mi_buf, padc)
-        wog_buf = jnp.pad(wog_buf, padc)
+        if wog_buf is not None:
+            wog_buf = jnp.pad(wog_buf, padc)
         store_mask = jnp.pad(store_mask, padc)
         Lp += pad
     KL = K // LN
@@ -93,9 +97,13 @@ def compact_edges_route(mi_buf, wog_buf, store_mask, i0, K: int, LN: int = 128):
 
     wd = mi_buf.dtype  # f32, or f64 in x64 oracle-test mode
     jidx = jax.lax.broadcasted_iota(wd, (T, Lp), 1)
-    (r_mi, r_wog, r_j), counts = route_rows(
-        store_mask, (mi_buf, wog_buf.astype(wd), jidx)
-    )
+    if wog_buf is None:
+        (r_mi, r_j), counts = route_rows(store_mask, (mi_buf, jidx))
+        r_wog = None
+    else:
+        (r_mi, r_wog, r_j), counts = route_rows(
+            store_mask, (mi_buf, wog_buf.astype(wd), jidx)
+        )
 
     # line bookkeeping: i-row r contributes lines_r = ceil(counts_r/LN)
     lines_r = -(-counts // LN)
@@ -118,14 +126,16 @@ def compact_edges_route(mi_buf, wog_buf, store_mask, i0, K: int, LN: int = 128):
         return g  # (KL, LN)
 
     g_mi = gather_lines(r_mi)
-    g_wog = gather_lines(r_wog)
     g_j = gather_lines(r_j)
 
     # mask: entry e of line o is valid iff w*LN + lane < counts[r]
     lane = jnp.arange(LN, dtype=jnp.int32)[None, :]
     valid = live[:, None] & ((w[:, None] * LN + lane) < counts[r][:, None])
     vals = jnp.where(valid, g_mi, 0.0).reshape(-1)
-    wogs = jnp.where(valid, g_wog, 0.0).reshape(-1)
+    if r_wog is None:
+        wogs = jnp.zeros_like(vals)
+    else:
+        wogs = jnp.where(valid, gather_lines(r_wog), 0.0).reshape(-1)
     jpos = jnp.where(valid, g_j.astype(jnp.int32), 0).reshape(-1)
     ipos = jnp.where(valid, i0 + r[:, None], 0).reshape(-1)
 

@@ -77,15 +77,15 @@ def _split_dot(x, M, interpret=False):
     return d(xh) + d(xl)
 
 
-def _mi_from_block(C, ipf, jpf, pc, interpret=False):
-    """(BI, BJ) MI from a (BI*5, BJ*5) crosstable block in registers.
+def _mi_from_block(C, ipf, jpf, pc, bj=BJ, interpret=False):
+    """(bi, bj) MI from a (bi*5, bj*5) crosstable block in registers.
 
     Group reductions over i-states (major axis) are exact reshape-sums;
     reductions over j-states (minor axis) are split-dots against the
     jp-masked 0/1 group indicator.
     """
     f32 = jnp.float32
-    Mj = (_group_indicator(BJ, f32) * jpf[:, None]).astype(jnp.bfloat16)
+    Mj = (_group_indicator(bj, f32) * jpf[:, None]).astype(jnp.bfloat16)
 
     pm = ipf[:, None] * jpf[None, :]
     A = C + pc * pm
@@ -114,7 +114,7 @@ def _mi_from_block(C, ipf, jpf, pc, interpret=False):
 
 
 def _kernel(xi_hi_ref, xi_lo_ref, xj_ref, ipf_ref, jpf_ref, ipwf_ref, jpwf_ref,
-            mi_ref, wog_ref, C_scratch, *, pc, n_k, interpret=False):
+            mi_ref, wog_ref, C_scratch, *, pc, n_k, bj=BJ, interpret=False):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -133,10 +133,83 @@ def _kernel(xi_hi_ref, xi_lo_ref, xj_ref, ipf_ref, jpf_ref, ipwf_ref, jpwf_ref,
         C = C_scratch[:]
         ipf = ipf_ref[0, :]
         jpf = jpf_ref[0, :]
-        mi_ref[:] = _mi_from_block(C, ipf, jpf, pc, interpret)
+        mi_ref[:] = _mi_from_block(C, ipf, jpf, pc, bj, interpret)
         ipwf = ipwf_ref[0, :]
         jpwf = jpwf_ref[0, :]
-        wog_ref[:] = _mi_from_block(C, ipwf, jpwf, pc, interpret)
+        wog_ref[:] = _mi_from_block(C, ipwf, jpwf, pc, bj, interpret)
+
+
+def _kernel_single(xi_hi_ref, xi_lo_ref, xj_ref, ipf_ref, jpf_ref,
+                   mi_ref, C_scratch, *, pc, n_k, bj=BJ, interpret=False):
+    """Single-variant kernel: mi only (the lazy-wog hot path — the
+    gaps-excluded variant is recomputed post-hoc for the few stored
+    edges that need it, the sparsity the reference exploits via its
+    crosstable cache, mi.hpp:466-490)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        C_scratch[:] = jnp.zeros_like(C_scratch)
+
+    contract = lambda a, b: jax.lax.dot_general(
+        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    C_scratch[:] += contract(xi_hi_ref[:], xj_ref[:])
+    C_scratch[:] += contract(xi_lo_ref[:], xj_ref[:])
+
+    @pl.when(k == n_k - 1)
+    def _():
+        mi_ref[:] = _mi_from_block(
+            C_scratch[:], ipf_ref[0, :], jpf_ref[0, :], pc, bj, interpret
+        )
+
+
+def mi_tile_pallas_single(
+    xi_hi: jnp.ndarray,
+    xi_lo: jnp.ndarray,
+    xj: jnp.ndarray,
+    ipf: jnp.ndarray,
+    jpf: jnp.ndarray,
+    pseudocount: float = 0.5,
+    interpret: bool | None = None,
+    bs: int = BS,
+    bi: int = BI,
+    bj: int = BJ,
+) -> jnp.ndarray:
+    """mi (TI, TJ) f32 only — same matmul + epilogue as the dual kernel
+    minus the wog pass (bit-identical mi values)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    S, TI5 = xi_hi.shape
+    TJ5 = xj.shape[1]
+    TI, TJ = TI5 // N_STATES, TJ5 // N_STATES
+    assert S % bs == 0 and TI % bi == 0 and TJ % bj == 0, (S, TI, TJ)
+    n_k = S // bs
+    grid = (TI // bi, TJ // bj, n_k)
+
+    kernel = functools.partial(_kernel_single, pc=pseudocount, n_k=n_k,
+                               bj=bj, interpret=interpret)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bs, bi * N_STATES), lambda i, j, k: (k, i)),
+            pl.BlockSpec((bs, bi * N_STATES), lambda i, j, k: (k, i)),
+            pl.BlockSpec((bs, bj * N_STATES), lambda i, j, k: (k, j)),
+            pl.BlockSpec((1, bi * N_STATES), lambda i, j, k: (0, i)),
+            pl.BlockSpec((1, bj * N_STATES), lambda i, j, k: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bi, bj), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((TI, TJ), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((bi * N_STATES, bj * N_STATES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xi_hi, xi_lo, xj, ipf.reshape(1, -1), jpf.reshape(1, -1))
 
 
 def split_bf16(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -159,42 +232,46 @@ def mi_tile_pallas(
     jpwf: jnp.ndarray,    # (TJ*5,) f32
     pseudocount: float = 0.5,
     interpret: bool | None = None,
+    bs: int = BS,
+    bi: int = BI,
+    bj: int = BJ,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(mi, mi_wo_gaps), each (TI, TJ) f32. S and tiles must be multiples
-    of (BS, BI, BJ) — pad samples with zero rows (exact: zero one-hot
+    of (bs, bi, bj) — pad samples with zero rows (exact: zero one-hot
     contributes nothing to the crosstable)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     S, TI5 = xi_hi.shape
     TJ5 = xj.shape[1]
     TI, TJ = TI5 // N_STATES, TJ5 // N_STATES
-    assert S % BS == 0 and TI % BI == 0 and TJ % BJ == 0, (S, TI, TJ)
-    n_k = S // BS
-    grid = (TI // BI, TJ // BJ, n_k)
+    assert S % bs == 0 and TI % bi == 0 and TJ % bj == 0, (S, TI, TJ)
+    n_k = S // bs
+    grid = (TI // bi, TJ // bj, n_k)
 
-    kernel = functools.partial(_kernel, pc=pseudocount, n_k=n_k, interpret=interpret)
+    kernel = functools.partial(_kernel, pc=pseudocount, n_k=n_k, bj=bj,
+                               interpret=interpret)
     mi, wog = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((BS, BI * N_STATES), lambda i, j, k: (k, i)),
-            pl.BlockSpec((BS, BI * N_STATES), lambda i, j, k: (k, i)),
-            pl.BlockSpec((BS, BJ * N_STATES), lambda i, j, k: (k, j)),
-            pl.BlockSpec((1, BI * N_STATES), lambda i, j, k: (0, i)),
-            pl.BlockSpec((1, BJ * N_STATES), lambda i, j, k: (0, j)),
-            pl.BlockSpec((1, BI * N_STATES), lambda i, j, k: (0, i)),
-            pl.BlockSpec((1, BJ * N_STATES), lambda i, j, k: (0, j)),
+            pl.BlockSpec((bs, bi * N_STATES), lambda i, j, k: (k, i)),
+            pl.BlockSpec((bs, bi * N_STATES), lambda i, j, k: (k, i)),
+            pl.BlockSpec((bs, bj * N_STATES), lambda i, j, k: (k, j)),
+            pl.BlockSpec((1, bi * N_STATES), lambda i, j, k: (0, i)),
+            pl.BlockSpec((1, bj * N_STATES), lambda i, j, k: (0, j)),
+            pl.BlockSpec((1, bi * N_STATES), lambda i, j, k: (0, i)),
+            pl.BlockSpec((1, bj * N_STATES), lambda i, j, k: (0, j)),
         ],
         out_specs=[
-            pl.BlockSpec((BI, BJ), lambda i, j, k: (i, j)),
-            pl.BlockSpec((BI, BJ), lambda i, j, k: (i, j)),
+            pl.BlockSpec((bi, bj), lambda i, j, k: (i, j)),
+            pl.BlockSpec((bi, bj), lambda i, j, k: (i, j)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((TI, TJ), jnp.float32),
             jax.ShapeDtypeStruct((TI, TJ), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((BI * N_STATES, BJ * N_STATES), jnp.float32),
+            pltpu.VMEM((bi * N_STATES, bj * N_STATES), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             # the entropy stage's HIGHEST-precision dots need more scoped

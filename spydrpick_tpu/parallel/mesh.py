@@ -200,6 +200,11 @@ def sharded_sweep(
 
     mesh = mesh or make_mesh()
     st = engine.statics
+    if st.wog_lazy:
+        raise ValueError(
+            "sharded_sweep drains the full wog store; build the engine "
+            "with wog_fetch='full'"
+        )
     n_dev = mesh.devices.size
     step = make_sharded_group_step(mesh, st)
 

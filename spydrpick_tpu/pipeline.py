@@ -210,8 +210,11 @@ def run_pipeline(opts: PipelineOptions, write_outputs: bool = True) -> PipelineR
         ld_threshold=opts.ld_threshold,
         linear_genome=opts.linear_genome,
         # the output surface reads wog only for outlier rows
-        # (SpydrPick.hpp:100-124): defer its drain to those store lines
-        wog_fetch="outliers",
+        # (SpydrPick.hpp:100-124): lazy-wog mode skips the variant in the
+        # hot sweep and resolves those few edges post-hoc.  Sharded and
+        # checkpointed runs need the full wog store (their drains /
+        # snapshots carry every edge's wog).
+        wog_fetch="full" if (opts.sharded or opts.checkpoint) else "outliers",
         verbose=opts.verbose,
     )
     engine = MIEngine(alignment, config)

@@ -171,8 +171,11 @@ def test_deferred_wog_drain_matches_full():
 
     thr_out, _ = outlier_thresholds(full.colmax)
     cand = full.mi >= thr_out
-    assert cand.any()  # fixture must exercise the gather
-    np.testing.assert_array_equal(full.mi_wog[cand], defer.mi_wog[cand])
+    assert cand.any()  # fixture must exercise the resolver
+    # lazy mode recomputes candidate wog via the pairs kernel: same
+    # math, different accumulation order than the tile kernel
+    np.testing.assert_allclose(full.mi_wog[cand], defer.mi_wog[cand],
+                               rtol=1e-5, atol=1e-7)
     np.testing.assert_array_equal(defer.mi_wog[~cand], defer.mi[~cand])
     # and the deferral actually differs somewhere below the threshold
     # (gap-afflicted edges exist at gap_frac=0.2)
