@@ -82,6 +82,11 @@ class EngineConfig:
     # pipeline/bench use "outliers"; "auto" = "full" so library users
     # and the oracle tests get exact mi_wog for every edge.)
     wog_fetch: str = "auto"  # "auto" | "full" | "outliers"
+    # route-compaction width buckets: block-row i0 only stores j > i0,
+    # so late rows route a right-aligned slice of the buffer instead of
+    # the full Lp (separate compiled program per bucket).  0 = auto
+    # (4 buckets when Lp >= 8192, off below); 1 = off.
+    width_buckets: int = 0
     verbose: bool = False
 
 
@@ -331,7 +336,8 @@ def row_masks(data: DeviceData, st: SweepStatics, i0):
     return valid & upper, valid & upper & (d > st.ld_threshold)
 
 
-def row_sweep_core(data: DeviceData, st: SweepStatics, i0, threshold):
+def row_sweep_core(data: DeviceData, st: SweepStatics, i0, threshold,
+                   width: int | None = None):
     """One block-row: colmax parts + compacted thresholded edges.
 
     Returns (colmax_i (T,), colmax_j (Lp,), vals (K,), wogs (K,),
@@ -340,6 +346,13 @@ def row_sweep_core(data: DeviceData, st: SweepStatics, i0, threshold):
     overflow), ``lines`` the number of valid LN-wide store lines the
     K window holds (sub-line tails are zero padding with jpos = 0,
     dropped by the jpos > ipos fetch filter).
+
+    ``width`` (static): route-compaction window — callers guarantee
+    Lp - width <= i0, so the static right-aligned slice [Lp-width, Lp)
+    covers every storable j > i0 of this block-row and the routing cost
+    scales with the live triangle instead of the full row (the store
+    layout is identical to a full-width route: same survivors, same
+    j-ascending order, same per-i-row line packing).
     """
     K = st.edge_capacity
     LN = st.store_lanes
@@ -358,8 +371,11 @@ def row_sweep_core(data: DeviceData, st: SweepStatics, i0, threshold):
         from spydrpick_tpu.ops.compact_route import compact_edges_route
 
         store = store_base & (mi_buf > threshold)
+        start = st.Lp - width if width is not None else 0
+        sub = (lambda x: x[:, start:]) if start > 0 else (lambda x: x)
         vals, wogs, ipos, jpos, count, lines = compact_edges_route(
-            mi_buf, wog_buf, store, i0, K, LN
+            sub(mi_buf), None if wog_buf is None else sub(wog_buf),
+            sub(store), i0, K, LN, j_offset=start,
         )
         return (colmax_i, colmax_j, vals.astype(mi_buf.dtype),
                 wogs.astype(mi_buf.dtype), ipos, jpos, count, lines)
@@ -410,6 +426,7 @@ def rows_group_core(
     ip_s, jp_s,            # (cap,) int32 position stores
     offset,                # () int32: next free slot
     total,                 # () int32: true edge count (overflow detect)
+    width: int | None = None,  # static route window (row_sweep_core)
 ):
     """Sweep a group of block-rows, appending edges to device-resident
     stores — no host transfer per row.  Stores are 2-D (lines, LN)
@@ -432,7 +449,7 @@ def rows_group_core(
     def one_row(i0, carry):
         colmax, mi_s, wog_s, ip_s, jp_s, offset, total = carry
         colmax_i, colmax_j, vals, wogs, ipos, jpos, count, lines = (
-            row_sweep_core(data, st, i0, threshold)
+            row_sweep_core(data, st, i0, threshold, width)
         )
         colmax = jnp.maximum(colmax, colmax_j)
         cur = jax.lax.dynamic_slice(colmax, (i0,), (T,))
@@ -664,6 +681,8 @@ class MIEngine:
                                    mi_s, wog_s, ip_s, jp_s, offset, total)
 
         self._rows_group = jax.jit(_group, donate_argnums=(3, 4, 5, 6, 7, 8, 9))
+        # per-width route programs (see EngineConfig.width_buckets)
+        self._rows_group_w: dict = {None: self._rows_group}
         # drain chunk size: largest divisor of the store line count
         # <= _FETCH_CHUNK_LINES, so chunks tile the store exactly
         import math
@@ -679,6 +698,45 @@ class MIEngine:
                     include_wog=True))
         self._gather_wog = jax.jit(gather_wog_lines_core)
         self._fetch_colmax = jax.jit(lambda c: c[: st.L])
+
+    # ------------------------------------------------------------------ #
+    def _route_widths(self) -> list[int | None]:
+        """Ascending route-window bucket widths (None = full Lp)."""
+        st = self.statics
+        n = self.config.width_buckets
+        if n == 0:
+            n = 4 if st.Lp >= 8192 else 1
+        if st.compaction != "route" or n <= 1:
+            return [None]
+        LN = st.store_lanes
+        widths: set = set()
+        for k in range(1, n):
+            W = _ceil_to(max(st.Lp >> k, LN), LN)
+            if W < st.Lp:
+                widths.add(W)
+        return sorted(widths) + [None]
+
+    def _bucket_width(self, i0: int, widths) -> int | None:
+        rem = self.Lp - i0
+        for W in widths:
+            if W is None or W >= rem:
+                return W
+        return None
+
+    def _group_fn(self, width: int | None):
+        if width not in self._rows_group_w:
+            st = self.statics
+
+            def _group(data, row_starts, threshold, colmax, mi_s, wog_s,
+                       ip_s, jp_s, offset, total):
+                return rows_group_core(data, st, row_starts, threshold,
+                                       colmax, mi_s, wog_s, ip_s, jp_s,
+                                       offset, total, width=width)
+
+            self._rows_group_w[width] = jax.jit(
+                _group, donate_argnums=(3, 4, 5, 6, 7, 8, 9)
+            )
+        return self._rows_group_w[width]
 
     # ------------------------------------------------------------------ #
     def pair_mi(self, ipos: np.ndarray, jpos: np.ndarray, chunk: int = 8192) -> np.ndarray:
@@ -781,14 +839,24 @@ class MIEngine:
                     o.copy_to_host_async()
                 pending.append((c0, out))
 
-        groups = [row_starts[g0 : g0 + G] for g0 in range(0, len(row_starts), G)]
+        # groups are width-uniform: each route-bucket width is its own
+        # compiled program (see _route_widths); rows ascend, so buckets
+        # are contiguous and this costs no extra dispatches
+        widths = self._route_widths()
+        groups: list[tuple[int | None, list[int]]] = []
+        for r in row_starts:
+            w = self._bucket_width(r, widths)
+            if groups and groups[-1][0] == w and len(groups[-1][1]) < G:
+                groups[-1][1].append(r)
+            else:
+                groups.append((w, [r]))
         ck_rows = 0
         t_compute0 = time.perf_counter()
-        for group in groups:
+        for gi, (gw, group) in enumerate(groups):
             t0 = time.perf_counter()
             padded = group + [-1] * (G - len(group))
             (colmax_d, mi_s, wog_s, ip_s, jp_s, offset, total, counts,
-             lines_a) = self._rows_group(
+             lines_a) = self._group_fn(gw)(
                 self.data, jnp.asarray(padded, jnp.int32), thr,
                 colmax_d, mi_s, wog_s, ip_s, jp_s, offset, total,
             )
@@ -806,7 +874,7 @@ class MIEngine:
                 progress(group[0], min(group[-1] + T, L),
                          int(counts_np.sum()), time.perf_counter() - t0)
             ck_rows += len(group)
-            if checkpoint_path and ck_rows >= checkpoint_every and group is not groups[-1]:
+            if checkpoint_path and ck_rows >= checkpoint_every and gi < len(groups) - 1:
                 ck_rows = 0
                 s_i, s_j, s_m, s_w, s_c = self._fetch_stores(
                     mi_s, wog_s, ip_s, jp_s, offset, colmax_d

@@ -67,11 +67,17 @@ def route_rows(mask: jnp.ndarray, payloads: tuple[jnp.ndarray, ...]):
     return tuple(ps), counts
 
 
-def compact_edges_route(mi_buf, wog_buf, store_mask, i0, K: int, LN: int = 128):
-    """(T, Lp) buffers + store mask -> store-format dense K window.
+def compact_edges_route(mi_buf, wog_buf, store_mask, i0, K: int, LN: int = 128,
+                        j_offset: int = 0):
+    """(T, W) buffers + store mask -> store-format dense K window.
 
     ``wog_buf`` may be None (lazy-wog mode): the wog output is then all
     zeros and only two payloads are routed.
+
+    ``j_offset`` (static) is the global column index of buffer column 0
+    — callers may pass a right-aligned slice of the full row (block-row
+    i0 only stores j > i0, so the left half of late rows is dead weight
+    for the O(W log W) routing).
 
     Returns (vals, wogs, ipos, jpos, count, lines):
       * the (K,) outputs are ``lines`` 128-lane lines of line-packed
@@ -96,7 +102,7 @@ def compact_edges_route(mi_buf, wog_buf, store_mask, i0, K: int, LN: int = 128):
     row_lines = Lp // LN
 
     wd = mi_buf.dtype  # f32, or f64 in x64 oracle-test mode
-    jidx = jax.lax.broadcasted_iota(wd, (T, Lp), 1)
+    jidx = jax.lax.broadcasted_iota(wd, (T, Lp), 1) + wd.type(j_offset)
     if wog_buf is None:
         (r_mi, r_j), counts = route_rows(store_mask, (mi_buf, jidx))
         r_wog = None

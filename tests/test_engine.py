@@ -180,3 +180,16 @@ def test_deferred_wog_drain_matches_full():
     # and the deferral actually differs somewhere below the threshold
     # (gap-afflicted edges exist at gap_frac=0.2)
     assert (full.mi_wog != full.mi).any()
+
+
+def test_route_width_buckets_invariant():
+    """Bucketed route windows must produce the identical EdgeSet as the
+    full-width route (same survivors, same line packing)."""
+    al = random_alignment(n_samples=50, n_loci=200, seed=33, gap_frac=0.1)
+    full = MIEngine(al, EngineConfig(tile=16, width_buckets=1)).sweep(0.01)
+    buck = MIEngine(al, EngineConfig(tile=16, width_buckets=4)).sweep(0.01)
+    np.testing.assert_array_equal(full.ipos, buck.ipos)
+    np.testing.assert_array_equal(full.jpos, buck.jpos)
+    np.testing.assert_array_equal(full.mi, buck.mi)
+    np.testing.assert_array_equal(full.mi_wog, buck.mi_wog)
+    np.testing.assert_array_equal(full.colmax, buck.colmax)
