@@ -125,6 +125,10 @@ class SweepStatics:
     # itself evaluates wo-gaps MI only for stored gap-afflicted edges
     # (mi.hpp:466-490), never for the full tile space.
     wog_lazy: bool = False
+    # Pallas kernel sample-block size (hardware-swept: 768 is ~20%
+    # faster than 256 at S~3k; smaller blocks bound the zero-row
+    # padding for small alignments — see scripts/perf_kernel_sweep.py)
+    pallas_bs: int = 256
 
     @property
     def cdtype(self):
@@ -282,7 +286,7 @@ def row_buffers(data: DeviceData, st: SweepStatics, i0, dual: bool | None = None
                 mi = mi_tile_pallas_single(
                     xi_hi, xi_lo, xj.astype(jnp.bfloat16),
                     ipf.astype(jnp.float32), jpf.astype(jnp.float32),
-                    pseudocount=st.pseudocount,
+                    pseudocount=st.pseudocount, bs=st.pallas_bs,
                 )
                 return mi, None
             ipwf = jax.lax.dynamic_slice_in_dim(data.presence_wog, i0, T, 0).reshape(-1)
@@ -291,7 +295,7 @@ def row_buffers(data: DeviceData, st: SweepStatics, i0, dual: bool | None = None
                 xi_hi, xi_lo, xj.astype(jnp.bfloat16),
                 ipf.astype(jnp.float32), jpf.astype(jnp.float32),
                 ipwf.astype(jnp.float32), jpwf.astype(jnp.float32),
-                pseudocount=st.pseudocount,
+                pseudocount=st.pseudocount, bs=st.pallas_bs,
             )
             return mi, _wog_effective(data, st, mi, mi_wog, i0, j0)
         if not dual:
@@ -603,8 +607,16 @@ def build_device_data(alignment: Alignment, config: EngineConfig) -> tuple[Devic
         "route": "route", "auto": "route",
     }[config.use_pallas_compact]
     n_samples = S
+    # sample-block size: biggest swept block whose zero-row padding
+    # stays under ~15% (scripts/perf_kernel_sweep.py: 768 ~20% faster
+    # than 256 at S~3k; padding rows are exact no-ops but cost matmul)
+    pallas_bs = _BS
     if use_pallas:
-        S = _ceil_to(S, _BS)  # zero sample rows are exact no-ops
+        for b in (768, 512, 384, 256):
+            if _ceil_to(S, b) <= 1.15 * S or b == 256:
+                pallas_bs = b
+                break
+        S = _ceil_to(S, pallas_bs)  # zero sample rows are exact no-ops
 
     codes = np.full((S, Lp), 255, dtype=np.uint8)
     codes[:n_samples, :L] = alignment.codes
@@ -652,6 +664,7 @@ def build_device_data(alignment: Alignment, config: EngineConfig) -> tuple[Devic
         use_pallas=use_pallas,
         compaction=compaction,
         wog_lazy=config.wog_fetch == "outliers",
+        pallas_bs=pallas_bs,
     )
     return data, statics
 
