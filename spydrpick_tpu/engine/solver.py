@@ -864,6 +864,31 @@ class MIEngine:
             else:
                 groups.append((w, [r]))
         ck_rows = 0
+        inflight: list[tuple[list[int], object, object, float]] = []
+
+        def resolve_one():
+            """Collect one in-flight group's counts (bookkeeping +
+            watermark-driven chunk fetches + progress)."""
+            nonlocal expected_offset
+            grp, counts, lines_a, g_t0 = inflight.pop(0)
+            counts_np = np.asarray(counts)
+            lines_np = np.asarray(lines_a)
+            for r, i0 in enumerate(grp):
+                done_rows.add(i0)
+                n = int(counts_np[r])
+                expected_offset += min(int(lines_np[r]), K // LN)
+                if n > K_eff:
+                    overflow_rows.append(i0)
+            if packed:
+                fetch_chunks_upto(expected_offset)
+            if progress is not None:
+                progress(grp[0], min(grp[-1] + T, L),
+                         int(counts_np.sum()), time.perf_counter() - g_t0)
+
+        # the per-group counts sync costs a full tunnel round-trip
+        # (~80 ms here); in packed mode keep one group's counts in
+        # flight so the sync overlaps the next group's compute
+        depth = 2 if packed else 1
         t_compute0 = time.perf_counter()
         for gi, (gw, group) in enumerate(groups):
             t0 = time.perf_counter()
@@ -873,19 +898,11 @@ class MIEngine:
                 self.data, jnp.asarray(padded, jnp.int32), thr,
                 colmax_d, mi_s, wog_s, ip_s, jp_s, offset, total,
             )
-            counts_np = np.asarray(counts)  # small fetch; syncs the step
-            lines_np = np.asarray(lines_a)
-            for r, i0 in enumerate(group):
-                done_rows.add(i0)
-                n = int(counts_np[r])
-                expected_offset += min(int(lines_np[r]), K // LN)
-                if n > K_eff:
-                    overflow_rows.append(i0)
-            if packed:
-                fetch_chunks_upto(expected_offset)
-            if progress is not None:
-                progress(group[0], min(group[-1] + T, L),
-                         int(counts_np.sum()), time.perf_counter() - t0)
+            counts.copy_to_host_async()
+            lines_a.copy_to_host_async()
+            inflight.append((group, counts, lines_a, t0))
+            while len(inflight) >= depth:
+                resolve_one()
             ck_rows += len(group)
             if checkpoint_path and ck_rows >= checkpoint_every and gi < len(groups) - 1:
                 ck_rows = 0
@@ -913,6 +930,8 @@ class MIEngine:
                     ),
                 )
 
+        while inflight:
+            resolve_one()
         t_compute = time.perf_counter() - t_compute0
         # device appends clamp at cap-K lines; expected_offset below that
         # proves no append was ever clamped (offsets grow monotonically)
