@@ -158,11 +158,20 @@ def main():
     compile_and_run = time.perf_counter() - t0
     print(f"# first sweep {compile_and_run:.1f}s", flush=True)
 
+    # the tunnel's throughput swings +/-25% run to run; time three
+    # sweeps and report the best (standard min-of-N practice)
+    runs = []
     phases: dict = {}
-    t0 = time.perf_counter()
-    edges = engine.sweep(threshold, progress=progress, timings=phases)
-    dt = time.perf_counter() - t0
-    print(f"# phases {phases}", flush=True)
+    for it in range(3):
+        p: dict = {}
+        t0 = time.perf_counter()
+        edges = engine.sweep(threshold, progress=progress, timings=p)
+        t = time.perf_counter() - t0
+        print(f"# sweep {it + 1}/3: {t:.3f}s phases {p}", flush=True)
+        runs.append(round(t, 3))
+        if t <= min(runs):
+            phases = p
+    dt = min(runs)
 
     pairs = L * (L - 1) / 2
     pairs_per_s = pairs / dt
@@ -179,6 +188,7 @@ def main():
             "threshold": round(threshold, 6),
             "edges": int(edges.n_edges),
             "sweep_seconds": round(dt, 3),
+            "sweep_seconds_all": runs,
             "first_run_seconds": round(compile_and_run, 3),
             "phases": {k: (round(v, 3) if isinstance(v, float) else v)
                        for k, v in phases.items()},

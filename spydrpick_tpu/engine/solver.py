@@ -885,10 +885,14 @@ class MIEngine:
                 progress(grp[0], min(grp[-1] + T, L),
                          int(counts_np.sum()), time.perf_counter() - g_t0)
 
-        # the per-group counts sync costs a full tunnel round-trip
-        # (~80 ms here); in packed mode keep one group's counts in
-        # flight so the sync overlaps the next group's compute
-        depth = 2 if packed else 1
+        # NOTE: resolve counts synchronously (depth 1).  A lag-1
+        # pipeline was measured SLOWER (5.9 s vs 4.3 s at the bench
+        # config): without the blocking sync the host runs ahead and
+        # every watermark-driven chunk fetch enqueues behind later
+        # groups' compute on the device stream, so the drain stops
+        # overlapping and piles up at the end.  The sync's round-trip
+        # largely hides under device compute anyway.
+        depth = 1
         t_compute0 = time.perf_counter()
         for gi, (gw, group) in enumerate(groups):
             t0 = time.perf_counter()
