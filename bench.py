@@ -168,10 +168,11 @@ def main():
         edges = engine.sweep(threshold, progress=progress, timings=p)
         t = time.perf_counter() - t0
         print(f"# sweep {it + 1}/3: {t:.3f}s phases {p}", flush=True)
-        runs.append(round(t, 3))
+        runs.append(t)
         if t <= min(runs):
             phases = p
     dt = min(runs)
+    runs = [round(t, 3) for t in runs]
 
     pairs = L * (L - 1) / 2
     pairs_per_s = pairs / dt
