@@ -193,3 +193,21 @@ def test_route_width_buckets_invariant():
     np.testing.assert_array_equal(full.mi, buck.mi)
     np.testing.assert_array_equal(full.mi_wog, buck.mi_wog)
     np.testing.assert_array_equal(full.colmax, buck.colmax)
+
+
+def test_packed_drain_multiple_chunks():
+    """Force the packed drain across several fetch chunks (including a
+    partial tail): store offset must cross chunk boundaries and the
+    assembled EdgeSet must match a single-chunk run exactly."""
+    al = random_alignment(n_samples=30, n_loci=768, seed=41, gap_frac=0.1)
+    # store_capacity 1<<20 -> cap_lines 8192, chunk 2048 lines; storing
+    # every pair of L=768 needs ~2700 lines -> 1 full chunk + a tail
+    multi = MIEngine(al, EngineConfig(tile=128, store_capacity=1 << 20))
+    small = MIEngine(al, EngineConfig(tile=128, store_capacity=1 << 18))
+    assert multi._chunk_lines < 2700 <= 2 * multi._chunk_lines + 1
+    e1 = multi.sweep(-1.0).sort_desc()
+    e2 = small.sweep(-1.0).sort_desc()
+    assert e1.n_edges == 768 * 767 // 2
+    np.testing.assert_array_equal(e1.ipos, e2.ipos)
+    np.testing.assert_array_equal(e1.jpos, e2.jpos)
+    np.testing.assert_array_equal(e1.mi, e2.mi)
