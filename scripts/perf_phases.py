@@ -50,10 +50,14 @@ def main():
         n_original_positions=L,
         weights=rng.random(S) * 0.9 + 0.1,
     )
-    engine = MIEngine(al, EngineConfig(tile=tile))
+    import os
+
+    engine = MIEngine(al, EngineConfig(
+        tile=tile, wog_fetch=os.environ.get("PHASES_WOG", "outliers")))
     st = engine.statics
     print(f"# statics: pallas={st.use_pallas} compaction={st.compaction} "
-          f"precision={st.matmul_precision}", flush=True)
+          f"precision={st.matmul_precision} bs={st.pallas_bs} "
+          f"lazy={st.wog_lazy}", flush=True)
 
     # threshold retaining ~100*L edges (the bench config)
     ii = rng.integers(0, L, 20000)
@@ -65,16 +69,18 @@ def main():
     print(f"# threshold {threshold:.6f}", flush=True)
 
     @jax.jit
-    def A(data, i0):  # crosstable matmuls + dual entropy only
+    def A(data, i0):  # crosstable matmuls + entropy only
         mi_buf, wog_buf = row_buffers(data, st, i0)
-        return mi_buf.sum() + wog_buf.sum()
+        out = mi_buf.sum()
+        return out if wog_buf is None else out + wog_buf.sum()
 
     @jax.jit
     def B(data, i0):  # + masks + colmax reductions
         mi_buf, wog_buf = row_buffers(data, st, i0)
         sb, cm = row_masks(data, st, i0)
         m = jnp.where(cm, mi_buf, -jnp.inf)
-        return m.max(1).sum() + m.max(0).sum() + wog_buf.sum()
+        out = m.max(1).sum() + m.max(0).sum()
+        return out if wog_buf is None else out + wog_buf.sum()
 
     @jax.jit
     def R(data, i0, thr):  # + route compaction (full row_sweep_core)
