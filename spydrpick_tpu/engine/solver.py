@@ -697,11 +697,19 @@ class MIEngine:
         # per-width route programs (see EngineConfig.width_buckets)
         self._rows_group_w: dict = {None: self._rows_group}
         # drain chunk size: largest divisor of the store line count
-        # <= _FETCH_CHUNK_LINES, so chunks tile the store exactly
+        # <= _FETCH_CHUNK_LINES, so chunks tile the store exactly.
+        # The store must hold at least one full dispatch group (G per-row
+        # K windows) — the packed drain recycles it in epochs (see
+        # sweep), so capacity bounds the compute-ahead-of-drain lag, not
+        # the total edge count.
         import math
 
-        cap_lines = max(config.store_capacity, 2 * config.edge_capacity)
-        cap_lines //= st.store_lanes
+        self._cap_slots = max(
+            config.store_capacity,
+            2 * config.edge_capacity,
+            config.rows_per_dispatch * config.edge_capacity,
+        )
+        cap_lines = self._cap_slots // st.store_lanes
         self._chunk_lines = math.gcd(cap_lines, _FETCH_CHUNK_LINES)
         self._fetch_chunk = jax.jit(
             partial(fetch_chunk_core, st=st, ch=self._chunk_lines,
@@ -819,7 +827,8 @@ class MIEngine:
         # Stores are (lines, LN) 2-D — see SweepStatics.store_lanes.
         LN = self.statics.store_lanes
         CH = self._chunk_lines
-        cap_lines = max(self.config.store_capacity, 2 * K) // LN
+        cap_lines = self._cap_slots // LN
+        KL = K // LN
         K_eff = effective_row_capacity(self.statics)
         G = self.config.rows_per_dispatch
         row_starts = [r for r in range(0, L, T) if r not in done_rows]
@@ -839,6 +848,9 @@ class MIEngine:
         overflow_rows: list[int] = []
         expected_offset = 0
         pending: list[tuple[int, tuple]] = []  # (c0, device chunk arrays)
+        collected: list[tuple] = []  # per-epoch host arrays (packed drain)
+        fetched_lines_total = 0
+        epoch_drains = 0
 
         def fetch_chunks_upto(watermark: int):
             """Dispatch async d2h copies of every complete, not-yet-
@@ -851,6 +863,23 @@ class MIEngine:
                 for o in out:
                     o.copy_to_host_async()
                 pending.append((c0, out))
+
+        def drain_epoch():
+            """Collect everything written so far to host and recycle the
+            device store from line 0 (packed mode): every complete chunk
+            is already in flight, so this only adds the partial tail
+            chunk + the numpy assembly.  Capacity therefore bounds the
+            compute-ahead-of-drain lag, not the sweep's total edges."""
+            nonlocal expected_offset, offset, fetched_lines_total
+            if expected_offset > 0:
+                fetch_chunks_upto(_ceil_to(expected_offset, CH))
+                collected.append(
+                    self._collect_packed(pending, expected_offset, wog_full)
+                )
+                fetched_lines_total += expected_offset
+            pending.clear()
+            expected_offset = 0
+            offset = jnp.asarray(0, jnp.int32)
 
         # groups are width-uniform: each route-bucket width is its own
         # compiled program (see _route_widths); rows ascend, so buckets
@@ -895,6 +924,15 @@ class MIEngine:
         depth = 1
         t_compute0 = time.perf_counter()
         for gi, (gw, group) in enumerate(groups):
+            if packed and expected_offset + len(group) * KL > cap_lines:
+                # next group might not fit: sync in-flight bookkeeping,
+                # then recycle the store (store writes clamp at
+                # cap_lines - KL, so this must happen *before* dispatch)
+                while inflight:
+                    resolve_one()
+                if expected_offset + len(group) * KL > cap_lines:
+                    epoch_drains += 1
+                    drain_epoch()
             t0 = time.perf_counter()
             padded = group + [-1] * (G - len(group))
             (colmax_d, mi_s, wog_s, ip_s, jp_s, offset, total, counts,
@@ -937,9 +975,10 @@ class MIEngine:
         while inflight:
             resolve_one()
         t_compute = time.perf_counter() - t_compute0
-        # device appends clamp at cap-K lines; expected_offset below that
-        # proves no append was ever clamped (offsets grow monotonically)
-        if expected_offset > cap_lines - K // LN:
+        # legacy drain keeps the whole sweep in the store: device appends
+        # clamp at cap-K lines, and expected_offset below that proves no
+        # append was ever clamped (the packed drain recycles instead)
+        if not packed and expected_offset > cap_lines - KL:
             raise RuntimeError(
                 f"edge store overflow: ~{expected_offset * LN} edge slots "
                 f"exceed capacity {cap_lines * LN}; raise --mi-threshold or "
@@ -949,10 +988,20 @@ class MIEngine:
         t_fetch0 = time.perf_counter()
         s_line = s_lane = None
         if packed:
-            fetch_chunks_upto(_ceil_to(max(expected_offset, 1), CH))
-            (s_i, s_j, s_m, s_w, s_line, s_lane) = self._collect_packed(
-                pending, expected_offset, wog_full
+            drain_epoch()
+            _cat = lambda k, dt: (
+                np.concatenate([c[k] for c in collected])
+                if collected else np.empty(0, dt)
             )
+            s_i, s_j = _cat(0, np.int64), _cat(1, np.int64)
+            s_m = _cat(2, np.float64)
+            s_w = _cat(3, np.float64) if wog_full else None
+            # NOTE: line/lane coordinates are only meaningful within one
+            # epoch (the store is recycled); they feed the deferred
+            # store-line wog gather, which only runs in the (currently
+            # unreachable) non-lazy "outliers" mode — lazy mode resolves
+            # wog through the pairs kernel instead.
+            s_line, s_lane = _cat(4, np.int64), _cat(5, np.int32)
             s_c = np.asarray(self._fetch_colmax(colmax_d), dtype=np.float64)
         else:
             s_i, s_j, s_m, s_w, s_c = self._fetch_stores(
@@ -998,7 +1047,10 @@ class MIEngine:
             timings["fetch_s"] = t_fetch
             timings["overflow_s"] = time.perf_counter() - t_overflow0
             timings["overflow_rows"] = len(overflow_rows)
-            timings["fetched_edges"] = expected_offset * LN
+            timings["fetched_edges"] = (
+                fetched_lines_total if packed else expected_offset
+            ) * LN
+            timings["epoch_drains"] = epoch_drains
             timings["drain"] = (
                 "legacy" if not packed
                 else ("packed+wog" if wog_full else "packed")

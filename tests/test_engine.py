@@ -139,15 +139,26 @@ def test_quartiles_and_tukey():
     assert ext == 75 + 3.0 * 50
 
 
-def test_store_capacity_overflow_raises():
+def test_store_capacity_overflow(tmp_path):
+    """Packed mode recycles the store in epochs — a sweep whose total
+    edges exceed store capacity still completes exactly; the legacy
+    (checkpointed) drain needs the whole sweep resident and raises."""
     from spydrpick_tpu.engine.solver import EngineConfig, MIEngine
     import pytest as _pytest
 
     al = random_alignment(n_samples=30, n_loci=64, seed=99)
-    eng = MIEngine(al, EngineConfig(tile=16, edge_capacity=64,
-                                    store_capacity=128))
+    cfg = EngineConfig(tile=16, edge_capacity=64, store_capacity=128,
+                       rows_per_dispatch=1)
+    edges = MIEngine(al, cfg).sweep(-1.0)  # 2016 pairs >> 128-slot store
+    assert edges.n_edges == 64 * 63 // 2
+    ref = MIEngine(al, EngineConfig(tile=16)).sweep(-1.0)
+    e1, e2 = edges.sort_desc(), ref.sort_desc()
+    np.testing.assert_array_equal(e1.ipos, e2.ipos)
+    np.testing.assert_array_equal(e1.jpos, e2.jpos)
+    np.testing.assert_array_equal(e1.mi, e2.mi)
     with _pytest.raises(RuntimeError, match="overflow"):
-        eng.sweep(-1.0)  # stores everything: 2016 pairs >> 128
+        MIEngine(al, cfg).sweep(-1.0,
+                                checkpoint_path=str(tmp_path / "ck.npz"))
 
 
 def test_deferred_wog_drain_matches_full():
@@ -193,6 +204,49 @@ def test_route_width_buckets_invariant():
     np.testing.assert_array_equal(full.mi, buck.mi)
     np.testing.assert_array_equal(full.mi_wog, buck.mi_wog)
     np.testing.assert_array_equal(full.colmax, buck.colmax)
+
+
+def test_packed_epoch_recycling_matches():
+    """A store smaller than the sweep's total edges must recycle in
+    epochs (drain + reuse from line 0) and produce the identical
+    EdgeSet — with per-row capacity large enough that no row overflows,
+    so the epoch-collected data itself is what's verified."""
+    al = random_alignment(n_samples=40, n_loci=512, seed=77, gap_frac=0.1)
+    big = MIEngine(al, EngineConfig(tile=64))
+    tiny = MIEngine(al, EngineConfig(tile=64, edge_capacity=1 << 15,
+                                     store_capacity=1 << 16,
+                                     rows_per_dispatch=2))
+    timings: dict = {}
+    e1 = big.sweep(-1.0).sort_desc()
+    e2 = tiny.sweep(-1.0, timings=timings).sort_desc()
+    assert timings["epoch_drains"] >= 1          # store was recycled
+    assert timings["overflow_rows"] == 0         # data came from epochs
+    assert e1.n_edges == 512 * 511 // 2
+    np.testing.assert_array_equal(e1.ipos, e2.ipos)
+    np.testing.assert_array_equal(e1.jpos, e2.jpos)
+    np.testing.assert_array_equal(e1.mi, e2.mi)
+    np.testing.assert_array_equal(e1.mi_wog, e2.mi_wog)
+    np.testing.assert_array_equal(e1.colmax, e2.colmax)
+
+
+def test_packed_epoch_recycling_lazy_wog():
+    """Epoch recycling under the production drain (wog_fetch="outliers",
+    lazy wog resolved via the pairs kernel after the store was reused)."""
+    al = random_alignment(n_samples=40, n_loci=512, seed=78, gap_frac=0.2)
+    al.codes[:, 500] = al.codes[:, 5]  # plant an outlier coupling
+    full = MIEngine(al, EngineConfig(tile=64, wog_fetch="outliers")).sweep(0.01)
+    timings: dict = {}
+    tiny = MIEngine(al, EngineConfig(tile=64, wog_fetch="outliers",
+                                     edge_capacity=1 << 15,
+                                     store_capacity=1 << 16,
+                                     rows_per_dispatch=2))
+    e2 = tiny.sweep(0.01, timings=timings)
+    assert timings["epoch_drains"] >= 1
+    e1, e2 = full.sort_desc(), e2.sort_desc()
+    np.testing.assert_array_equal(e1.ipos, e2.ipos)
+    np.testing.assert_array_equal(e1.jpos, e2.jpos)
+    np.testing.assert_array_equal(e1.mi, e2.mi)
+    np.testing.assert_array_equal(e1.mi_wog, e2.mi_wog)
 
 
 def test_packed_drain_multiple_chunks():
