@@ -1,0 +1,157 @@
+"""Locate where the fused MI kernel's time goes on the live TPU:
+stripped kernel variants (matmul passes only, epilogue without logs,
+single vs dual epilogue) timed at bench scale.
+
+Usage: python scripts/perf_kernel_anatomy.py [S] [tile] [bs]
+One TPU job at a time (axon tunnel).
+"""
+
+import functools
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, ".")
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/spydrpick_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from spydrpick_tpu.core.alphabet import N_STATES
+from spydrpick_tpu.ops.mi_pallas import (
+    _mi_from_block, mi_tile_pallas, mi_tile_pallas_single, split_bf16,
+)
+
+
+def make_variant(mode, bs, bi, bj, pc=0.5):
+    """Pallas kernel with the same grid/specs as the production kernel
+    but a reduced body: mode in {mm1, mm2, epi-nolog, single, dual}."""
+
+    def kern(xi_hi_ref, xi_lo_ref, xj_ref, ipf_ref, jpf_ref,
+             mi_ref, C_scratch, *, n_k):
+        k = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _():
+            C_scratch[:] = jnp.zeros_like(C_scratch)
+
+        contract = lambda a, b: jax.lax.dot_general(
+            a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        C_scratch[:] += contract(xi_hi_ref[:], xj_ref[:])
+        if mode != "mm1":
+            C_scratch[:] += contract(xi_lo_ref[:], xj_ref[:])
+
+        @pl.when(k == n_k - 1)
+        def _():
+            C = C_scratch[:]
+            if mode in ("mm1", "mm2"):
+                # cheapest correct-shape readout of the accumulator
+                mi_ref[:] = C[: mi_ref.shape[0], : mi_ref.shape[1]]
+            elif mode == "epi-nolog":
+                # full epilogue data flow with log -> x (VPU mult)
+                import spydrpick_tpu.ops.mi_pallas as mp
+                real_ln = mp._ln_pos
+                mp._ln_pos = lambda x: x * 1.0000001
+                try:
+                    mi_ref[:] = _mi_from_block(
+                        C, ipf_ref[0, :], jpf_ref[0, :], pc, bj, False)
+                finally:
+                    mp._ln_pos = real_ln
+            else:
+                mi_ref[:] = _mi_from_block(
+                    C, ipf_ref[0, :], jpf_ref[0, :], pc, bj, False)
+
+    def call(xi_hi, xi_lo, xj, ipf, jpf):
+        S = xi_hi.shape[0]
+        TI = xi_hi.shape[1] // N_STATES
+        TJ = xj.shape[1] // N_STATES
+        n_k = S // bs
+        return pl.pallas_call(
+            functools.partial(kern, n_k=n_k),
+            grid=(TI // bi, TJ // bj, n_k),
+            in_specs=[
+                pl.BlockSpec((bs, bi * N_STATES), lambda i, j, k: (k, i)),
+                pl.BlockSpec((bs, bi * N_STATES), lambda i, j, k: (k, i)),
+                pl.BlockSpec((bs, bj * N_STATES), lambda i, j, k: (k, j)),
+                pl.BlockSpec((1, bi * N_STATES), lambda i, j, k: (0, i)),
+                pl.BlockSpec((1, bj * N_STATES), lambda i, j, k: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((bi, bj), lambda i, j, k: (i, j)),
+            out_shape=jax.ShapeDtypeStruct((TI, TJ), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((bi * N_STATES, bj * N_STATES), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=False,
+        )(xi_hi, xi_lo, xj, ipf.reshape(1, -1), jpf.reshape(1, -1))
+
+    return call
+
+
+def time_one(fn, args, reps=20):
+    @jax.jit
+    def rep(a, b, c, d, e):
+        def body(_, carry):
+            acc, a2 = carry
+            out = fn(a2, b, c, d, e)
+            out0 = out[0] if isinstance(out, tuple) else out
+            bump = (out0[0, 0] * 0).astype(a2.dtype)
+            return acc + out0[0, 0].astype(jnp.float32), a2 + bump
+        out, _ = jax.lax.fori_loop(0, reps, body, (jnp.float32(0), a))
+        return out
+
+    float(rep(*args))  # compile + warm
+    t0 = time.perf_counter()
+    float(rep(*args))
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    S = int(sys.argv[1]) if len(sys.argv) > 1 else 3072
+    T = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    bs = int(sys.argv[3]) if len(sys.argv) > 3 else 768
+    print("# devices", jax.devices(), flush=True)
+
+    rng = np.random.default_rng(0)
+    xi = (rng.random((S, T * 5)) < 0.2).astype(np.float32)
+    xi *= rng.random((S, 1)).astype(np.float32) + 0.1
+    xj = (rng.random((S, T * 5)) < 0.2).astype(np.float32)
+
+    xi_hi, xi_lo = split_bf16(jnp.asarray(xi))
+    xj_b = jnp.asarray(xj, jnp.bfloat16)
+    ipf = jnp.ones(T * 5, jnp.float32)
+    jpf = jnp.ones(T * 5, jnp.float32)
+    args = (xi_hi, xi_lo, xj_b, ipf, jpf)
+
+    mm_flops = 2 * 2 * S * (T * 5) ** 2  # dual-pass bf16
+
+    for bi, bj in ((128, 128), (128, 256), (256, 256), (128, 512)):
+        if T % bi or T % bj:
+            continue
+        print(f"## bi={bi} bj={bj}", flush=True)
+        for mode in ("mm1", "mm2", "epi-nolog", "single"):
+            try:
+                dt = time_one(make_variant(mode, bs, bi, bj), args)
+                print(f"  {mode:10s} {dt * 1e3:7.2f} ms/tile"
+                      f"  ({mm_flops / dt / 1e12:5.1f} TF/s dual-pass scale)",
+                      flush=True)
+            except Exception as e:
+                print(f"  {mode:10s} FAIL: {str(e)[:110]}", flush=True)
+
+    # production entry points for reference
+    one_s = lambda a, b, c, d, e: mi_tile_pallas_single(
+        a, b, c, d, e, bs=bs)
+    one_d = lambda a, b, c, d, e: mi_tile_pallas(a, b, c, d, e, d, e, bs=bs)
+    print("## production", flush=True)
+    print(f"  single     {time_one(one_s, args) * 1e3:7.2f} ms/tile", flush=True)
+    print(f"  dual       {time_one(one_d, args) * 1e3:7.2f} ms/tile", flush=True)
+
+
+if __name__ == "__main__":
+    main()
