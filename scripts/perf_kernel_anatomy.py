@@ -94,8 +94,8 @@ def make_variant(mode, bs, bi, bj, pc=0.5):
     return call
 
 
-def time_one(fn, args, reps=20):
-    @jax.jit
+def _total_time(fn, args, reps):
+    @functools.partial(jax.jit, static_argnums=())
     def rep(a, b, c, d, e):
         def body(_, carry):
             acc, a2 = carry
@@ -107,9 +107,21 @@ def time_one(fn, args, reps=20):
         return out
 
     float(rep(*args))  # compile + warm
-    t0 = time.perf_counter()
-    float(rep(*args))
-    return (time.perf_counter() - t0) / reps
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(rep(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def time_one(fn, args, r_lo=10, r_hi=50):
+    """Per-tile seconds from a two-point REPS slope: removes the fixed
+    per-dispatch cost (tunnel round-trip + host sync), which otherwise
+    inflates every per-tile number by overhead/REPS."""
+    t_lo = _total_time(fn, args, r_lo)
+    t_hi = _total_time(fn, args, r_hi)
+    return (t_hi - t_lo) / (r_hi - r_lo)
 
 
 def main():

@@ -82,7 +82,14 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--edge-capacity", type=int, default=1 << 19,
                    help="per-block-row on-device edge buffer capacity")
     g.add_argument("--store-capacity", type=int, default=1 << 24,
-                   help="device-resident edge store capacity (whole sweep)")
+                   help="device-resident edge store capacity (the packed drain "
+                        "recycles it in epochs, so this bounds drain lag, not "
+                        "the run size)")
+    g.add_argument("--onehot-storage", choices=["auto", "dense", "codes"],
+                   default="auto",
+                   help="alignment residency: dense (S x 5L one-hot in HBM) or "
+                        "codes (S x L uint8, one-hot tiles expanded on the fly; "
+                        "auto switches to codes past 1 GiB — large alignments)")
     g.add_argument("--rows-per-dispatch", type=int, default=8,
                    help="block-rows swept per device dispatch")
     g.add_argument("--use-pallas", choices=["auto", "on", "off"], default="auto",
@@ -163,6 +170,7 @@ def main(argv=None) -> int:
         tile=args.tile,
         edge_capacity=args.edge_capacity,
         store_capacity=args.store_capacity,
+        onehot_storage=args.onehot_storage,
         rows_per_dispatch=args.rows_per_dispatch,
         use_pallas=args.use_pallas,
         use_pallas_compact=args.use_pallas_compact,

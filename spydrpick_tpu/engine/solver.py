@@ -53,6 +53,12 @@ from spydrpick_tpu.ops.mi import (
 @dataclasses.dataclass(frozen=True)
 class EngineConfig:
     tile: int = 512                 # columns per tile (TI == TJ)
+    # alignment residency: "dense" keeps the (S, Lp*5) one-hot in HBM;
+    # "codes" keeps only the (S, Lp) uint8 codes and expands one-hot
+    # tiles on the fly (exact; 10x less HBM — what lets ~300k-column
+    # alignments fit one chip).  "auto" switches to codes when the
+    # dense one-hot would exceed 1 GiB.
+    onehot_storage: str = "auto"    # "auto" | "dense" | "codes"
     edge_capacity: int = 1 << 19    # per-block-row edge buffer capacity
     pseudocount: float = 0.5        # --mi-pseudocount
     ld_threshold: int = 0           # --ld-threshold (colmax gating only)
@@ -93,7 +99,10 @@ class EngineConfig:
 class DeviceData(NamedTuple):
     """Device-resident alignment tensors (a pytree for jit/shard_map)."""
 
-    onehot: jnp.ndarray        # (S, Lp*5) one-hot codes (padded cols are zero)
+    # dense mode: (S, Lp*5) one-hot (padded cols zero); codes mode
+    # (st.onehot_codes): (S, Lp) uint8 codes (pad = 255), expanded to
+    # one-hot tiles on the fly by onehot_slice
+    onehot: jnp.ndarray
     weights: jnp.ndarray       # (S,)
     presence: jnp.ndarray      # (Lp, 5) 0/1 state presence
     presence_wog: jnp.ndarray  # (Lp, 5) presence with gap bit cleared
@@ -129,6 +138,9 @@ class SweepStatics:
     # faster than 256 at S~3k; smaller blocks bound the zero-row
     # padding for small alignments — see scripts/perf_kernel_sweep.py)
     pallas_bs: int = 256
+    # codes-resident alignment (see EngineConfig.onehot_storage)
+    onehot_codes: bool = False
+    storage_dtype: str = "bfloat16"
 
     @property
     def cdtype(self):
@@ -205,6 +217,37 @@ def effective_row_capacity(st: SweepStatics) -> int:
     return st.edge_capacity
 
 
+def onehot_slice(data: DeviceData, st: SweepStatics, c0, dtype):
+    """(S, tile*5) one-hot block of columns [c0, c0+tile) in ``dtype``.
+
+    Codes mode: the one-hot never lives in HBM.  Column replication
+    (each code repeated 5x along the minor axis) is an exact 0/1 MXU
+    dot — a direct (S, T, 5) -> (S, T*5) reshape would relayout at 4%
+    lane utilisation — and the per-state compare is a flat VPU op.
+    Exactness: codes <= 255 are bf16-exact and every output of the
+    replication dot has exactly one nonzero product, so the expanded
+    one-hot is bit-identical to the dense precomputed one.
+    """
+    T = st.tile
+    if not st.onehot_codes:
+        x = jax.lax.dynamic_slice(
+            data.onehot, (0, c0 * N_STATES), (st.S, T * N_STATES)
+        )
+        return x if x.dtype == dtype else x.astype(dtype)
+    sl = jax.lax.dynamic_slice(data.onehot, (0, c0), (st.S, T))  # u8
+    T5 = T * N_STATES
+    col = jax.lax.broadcasted_iota(jnp.int32, (T, T5), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (T, T5), 0)
+    E = (col // N_STATES == row).astype(jnp.bfloat16)
+    rep = jax.lax.dot_general(
+        sl.astype(jnp.bfloat16), E,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    states = (jax.lax.iota(jnp.int32, T5) % N_STATES).astype(jnp.float32)
+    return (rep == states[None, :]).astype(dtype)
+
+
 def tile_mi_pair(data: DeviceData, st: SweepStatics, xi_w, xj, i0, j0):
     """(mi, mi_wog_effective) for the (i0, j0) tile of column pairs.
 
@@ -261,8 +304,8 @@ def row_buffers(data: DeviceData, st: SweepStatics, i0, dual: bool | None = None
     T, S = st.tile, st.S
     bd = _buf_dtype(st)
 
-    xi = jax.lax.dynamic_slice(data.onehot, (0, i0 * N_STATES), (S, T * N_STATES))
-    xi_w = xi.astype(st.cdtype) * data.weights[:, None].astype(st.cdtype)
+    xi = onehot_slice(data, st, i0, st.cdtype)
+    xi_w = xi * data.weights[:, None].astype(st.cdtype)
     if st.use_pallas:
         from spydrpick_tpu.ops.mi_pallas import split_bf16
 
@@ -305,7 +348,11 @@ def row_buffers(data: DeviceData, st: SweepStatics, i0, dual: bool | None = None
     def body(c, bufs):
         mi_buf, wog_buf = bufs
         j0 = c * T
-        xj = jax.lax.dynamic_slice(data.onehot, (0, j0 * N_STATES), (S, T * N_STATES))
+        xj = onehot_slice(
+            data, st,
+            j0,
+            jnp.bfloat16 if st.use_pallas else jnp.dtype(st.storage_dtype),
+        )
         mi, wog = tile_pair(xj, j0)
         mi_buf = jax.lax.dynamic_update_slice(mi_buf, mi.astype(bd), (0, j0))
         if wog_buf is not None:
@@ -497,13 +544,27 @@ def row_full_core(data: DeviceData, st: SweepStatics, i0):
     return mi_buf, wog_buf, store_base, colmax_mask
 
 
+def _pairs_onehot(data: DeviceData, st: SweepStatics, pos):
+    """(S, P, 5) one-hot columns for explicit positions (pairs path)."""
+    if st.onehot_codes:
+        c = jnp.take(data.onehot, pos, axis=1)  # (S, P) u8
+        states = jnp.arange(N_STATES, dtype=jnp.uint8)
+        # materialise in storage dtype first so the downstream einsum
+        # sees the same convert(storage -> compute) producer as the
+        # dense path — XLA picks the identical dot algorithm and the
+        # tournament threshold stays bit-identical between modes
+        oh = (c[:, :, None] == states).astype(jnp.dtype(st.storage_dtype))
+        return oh.astype(st.cdtype)
+    oh3 = data.onehot.reshape(st.S, st.Lp, N_STATES)
+    return jnp.take(oh3, pos, axis=1).astype(st.cdtype)
+
+
 def pairs_mi_core(data: DeviceData, st: SweepStatics, ipos, jpos):
     """Batched per-pair MI (tournament path; reference
     ``MI_solver::single`` + ``single_edge_MI_solver``, mi.hpp:183-224,
     SpydrPick.hpp:209-255)."""
-    oh3 = data.onehot.reshape(st.S, st.Lp, N_STATES)
-    xi = jnp.take(oh3, ipos, axis=1).astype(st.cdtype)  # (S, P, 5)
-    xj = jnp.take(oh3, jpos, axis=1).astype(st.cdtype)
+    xi = _pairs_onehot(data, st, ipos)  # (S, P, 5)
+    xj = _pairs_onehot(data, st, jpos)
     xi_w = xi * data.weights[:, None, None].astype(st.cdtype)
     C = jnp.einsum("spa,spb->pab", xi_w, xj,
                    preferred_element_type=_buf_dtype(st),
@@ -520,9 +581,8 @@ def pairs_mi_dual_core(data: DeviceData, st: SweepStatics, ipos, jpos):
     cleared from the presence masks, defaulted to mi for pairs where
     neither column has gaps — the reference's store-then-lookup
     semantics (mi.hpp:433,466-490 + SpydrPick.hpp:106-107)."""
-    oh3 = data.onehot.reshape(st.S, st.Lp, N_STATES)
-    xi = jnp.take(oh3, ipos, axis=1).astype(st.cdtype)  # (S, P, 5)
-    xj = jnp.take(oh3, jpos, axis=1).astype(st.cdtype)
+    xi = _pairs_onehot(data, st, ipos)  # (S, P, 5)
+    xj = _pairs_onehot(data, st, jpos)
     xi_w = xi * data.weights[:, None, None].astype(st.cdtype)
     C = jnp.einsum("spa,spb->pab", xi_w, xj,
                    preferred_element_type=_buf_dtype(st),
@@ -620,13 +680,20 @@ def build_device_data(alignment: Alignment, config: EngineConfig) -> tuple[Devic
 
     codes = np.full((S, Lp), 255, dtype=np.uint8)
     codes[:n_samples, :L] = alignment.codes
-    codes_dev = jnp.asarray(codes)
-    states = jnp.arange(N_STATES, dtype=jnp.uint8)
-    onehot = (
-        (codes_dev[:, :, None] == states[None, None, :])
-        .astype(sdtype)
-        .reshape(S, Lp * N_STATES)
-    )
+    oh_mode = config.onehot_storage
+    if oh_mode == "auto":
+        dense_bytes = S * Lp * N_STATES * jnp.dtype(sdtype).itemsize
+        oh_mode = "codes" if dense_bytes > (1 << 30) else "dense"
+    if oh_mode == "codes":
+        onehot = jnp.asarray(codes)  # 10x smaller; tiles expand on use
+    else:
+        codes_dev = jnp.asarray(codes)
+        states = jnp.arange(N_STATES, dtype=jnp.uint8)
+        onehot = (
+            (codes_dev[:, :, None] == states[None, None, :])
+            .astype(sdtype)
+            .reshape(S, Lp * N_STATES)
+        )
 
     def _pad_bool(x):
         out = np.zeros((Lp, N_STATES), dtype=bool)
@@ -665,6 +732,8 @@ def build_device_data(alignment: Alignment, config: EngineConfig) -> tuple[Devic
         compaction=compaction,
         wog_lazy=config.wog_fetch == "outliers",
         pallas_bs=pallas_bs,
+        onehot_codes=oh_mode == "codes",
+        storage_dtype=str(jnp.dtype(sdtype)),
     )
     return data, statics
 

@@ -84,6 +84,7 @@ class PipelineOptions:
     tile: int = 512
     edge_capacity: int = 1 << 19
     store_capacity: int = 1 << 24
+    onehot_storage: str = "auto"
     rows_per_dispatch: int = 8
     use_pallas: str = "auto"
     use_pallas_compact: str = "auto"
@@ -202,6 +203,7 @@ def run_pipeline(opts: PipelineOptions, write_outputs: bool = True) -> PipelineR
         tile=opts.tile,
         edge_capacity=opts.edge_capacity,
         store_capacity=opts.store_capacity,
+        onehot_storage=opts.onehot_storage,
         rows_per_dispatch=opts.rows_per_dispatch,
         use_pallas=opts.use_pallas,
         use_pallas_compact=opts.use_pallas_compact,

@@ -206,6 +206,29 @@ def test_route_width_buckets_invariant():
     np.testing.assert_array_equal(full.colmax, buck.colmax)
 
 
+def test_onehot_codes_matches_dense():
+    """Codes-resident alignment (one-hot expanded per tile on the fly)
+    must be bit-identical to the dense precomputed one-hot — both the
+    sweep and the pairs (tournament) kernel."""
+    al = random_alignment(n_samples=50, n_loci=200, seed=55, gap_frac=0.15)
+    dense = MIEngine(al, EngineConfig(tile=32, onehot_storage="dense"))
+    codes = MIEngine(al, EngineConfig(tile=32, onehot_storage="codes"))
+    assert codes.statics.onehot_codes and not dense.statics.onehot_codes
+    assert codes.data.onehot.dtype == np.uint8
+    e1, e2 = dense.sweep(0.01).sort_desc(), codes.sweep(0.01).sort_desc()
+    np.testing.assert_array_equal(e1.ipos, e2.ipos)
+    np.testing.assert_array_equal(e1.jpos, e2.jpos)
+    np.testing.assert_array_equal(e1.mi, e2.mi)
+    np.testing.assert_array_equal(e1.mi_wog, e2.mi_wog)
+    np.testing.assert_array_equal(e1.colmax, e2.colmax)
+    # pairs (tournament) kernel: the gather structure differs between
+    # storage modes, which steers XLA-CPU to a different dot
+    # vectorisation order — agreement is to the last ULP, not bitwise
+    ii, jj = e1.ipos[:64], e1.jpos[:64]
+    np.testing.assert_allclose(dense.pair_mi(ii, jj), codes.pair_mi(ii, jj),
+                               rtol=1e-5, atol=1e-7)
+
+
 def test_packed_epoch_recycling_matches():
     """A store smaller than the sweep's total edges must recycle in
     epochs (drain + reuse from line 0) and produce the identical
