@@ -143,7 +143,11 @@ def main():
 
     mm_flops = 2 * 2 * S * (T * 5) ** 2  # dual-pass bf16
 
-    for bi, bj in ((128, 128), (128, 256), (256, 256), (128, 512)):
+    import os as _os
+    variant_blocks = ((128, 128), (128, 256), (256, 256), (128, 512))
+    if _os.environ.get("ANAT_SKIP_VARIANTS"):
+        variant_blocks = ()
+    for bi, bj in variant_blocks:
         if T % bi or T % bj:
             continue
         print(f"## bi={bi} bj={bj}", flush=True)
@@ -156,13 +160,29 @@ def main():
             except Exception as e:
                 print(f"  {mode:10s} FAIL: {str(e)[:110]}", flush=True)
 
-    # production entry points for reference
-    one_s = lambda a, b, c, d, e: mi_tile_pallas_single(
-        a, b, c, d, e, bs=bs)
+    # production single kernel (the lazy-wog hot path): honest slope-
+    # timed (bs, bi, bj) sweep — the original perf_kernel_sweep used
+    # flat timing whose fixed dispatch overhead swamped the signal
+    print("## production single kernel sweep", flush=True)
+    import os
+    bs_list = tuple(int(x) for x in os.environ.get(
+        "ANAT_BS", "256,384,512,768,1024,1536,3072").split(","))
+    for bs_i in bs_list:
+        for bi, bj in ((128, 128), (128, 256), (256, 256)):
+            if S % bs_i or T % bi or T % bj:
+                continue
+            try:
+                one = lambda a, b, c, d, e: mi_tile_pallas_single(
+                    a, b, c, d, e, bs=bs_i, bi=bi, bj=bj)
+                dt = time_one(one, args)
+                print(f"  bs={bs_i:4d} bi={bi:3d} bj={bj:3d}"
+                      f"  {dt * 1e3:7.3f} ms/tile", flush=True)
+            except Exception as e:
+                print(f"  bs={bs_i:4d} bi={bi:3d} bj={bj:3d}"
+                      f"  FAIL: {str(e)[:100]}", flush=True)
     one_d = lambda a, b, c, d, e: mi_tile_pallas(a, b, c, d, e, d, e, bs=bs)
-    print("## production", flush=True)
-    print(f"  single     {time_one(one_s, args) * 1e3:7.2f} ms/tile", flush=True)
-    print(f"  dual       {time_one(one_d, args) * 1e3:7.2f} ms/tile", flush=True)
+    print(f"  dual(bs={bs})  {time_one(one_d, args) * 1e3:7.3f} ms/tile",
+          flush=True)
 
 
 if __name__ == "__main__":

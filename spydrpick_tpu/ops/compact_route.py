@@ -31,9 +31,100 @@ the hot loop (include/mi.hpp:411-463).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
+
+def _route_shift(mask: jnp.ndarray) -> jnp.ndarray:
+    """(R, N) routing state: left-shift distance for surviving lanes
+    (count of dropped predecessors), 0 for dead lanes (never move)."""
+    drop = (~mask).astype(jnp.int32)
+    shift = jnp.cumsum(drop, axis=1) - drop
+    return jnp.where(mask, shift, 0)
+
+
+def _route_kernel(*refs, bits, W, j_offset, with_wog):
+    """All routing rounds over one (BR, W) row block, VMEM-resident —
+    the XLA version streams ~log2(W) full roll+select passes through
+    HBM (~13 GB per (512, 30720) block-row); here HBM sees each array
+    once.  jidx is built from iota in-register (never read from HBM)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    if with_wog:
+        rs_ref, mi_ref, wog_ref, omi_ref, oj_ref, owog_ref = refs
+        wog = wog_ref[:]
+    else:
+        rs_ref, mi_ref, omi_ref, oj_ref = refs
+        wog = None
+    rs = rs_ref[:]
+    mi = mi_ref[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, rs.shape, 1)
+    jidx = lane + j_offset
+    for b in range(bits):
+        sh = 1 << b
+        # left-rotate by sh == pltpu.roll by W - sh (shift must be >= 0)
+        lrot = lambda x: pltpu.roll(x, W - sh, 1)
+        src_rs = lrot(rs)
+        take = ((src_rs >> b) & 1 == 1) & (lane + sh < W)
+        moved = (rs >> b) & 1 == 1
+        rs = jnp.where(take, src_rs - sh, jnp.where(moved, 0, rs))
+        mi = jnp.where(take, lrot(mi), mi)
+        jidx = jnp.where(take, lrot(jidx), jidx)
+        if with_wog:
+            wog = jnp.where(take, lrot(wog), wog)
+    omi_ref[:] = mi
+    oj_ref[:] = jidx
+    if with_wog:
+        owog_ref[:] = wog
+
+
+def route_rows_pallas(mask, mi, wog=None, j_offset: int = 0,
+                      interpret: bool | None = None):
+    """Pallas twin of :func:`route_rows` for the store compaction:
+    returns (routed_mi, routed_jidx[int32], routed_wog_or_None, counts),
+    bit-identical to the XLA routing (values move verbatim).
+
+    Requires W % 128 == 0 and R % 8 == 0 (production shapes; callers
+    fall back to the XLA path otherwise)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    R, W = mask.shape
+    bits = int(W - 1).bit_length()
+    rs = _route_shift(mask)
+    counts = mask.sum(axis=1, dtype=jnp.int32)
+
+    # block rows so ~6 live (BR, W) arrays + pipeline buffers fit VMEM
+    br = 8
+    while br * 2 <= min(R, 256) and R % (br * 2) == 0 and (br * 2) * W <= (2 << 20):
+        br *= 2
+
+    with_wog = wog is not None
+    kernel = functools.partial(_route_kernel, bits=bits, W=W,
+                               j_offset=j_offset, with_wog=with_wog)
+    spec = pl.BlockSpec((br, W), lambda i: (i, 0))
+    n_in = 3 if with_wog else 2
+    outs = [
+        jax.ShapeDtypeStruct((R, W), mi.dtype),
+        jax.ShapeDtypeStruct((R, W), jnp.int32),
+    ] + ([jax.ShapeDtypeStruct((R, W), mi.dtype)] if with_wog else [])
+    res = pl.pallas_call(
+        kernel,
+        grid=(R // br,),
+        in_specs=[spec] * n_in,
+        out_specs=[spec] * len(outs),
+        out_shape=outs,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*((rs, mi, wog) if with_wog else (rs, mi)))
+    omi, oj = res[0], res[1]
+    return omi, oj, (res[2] if with_wog else None), counts
 
 
 def route_rows(mask: jnp.ndarray, payloads: tuple[jnp.ndarray, ...]):
@@ -68,7 +159,7 @@ def route_rows(mask: jnp.ndarray, payloads: tuple[jnp.ndarray, ...]):
 
 
 def compact_edges_route(mi_buf, wog_buf, store_mask, i0, K: int, LN: int = 128,
-                        j_offset: int = 0):
+                        j_offset: int = 0, pallas_route: bool | None = None):
     """(T, W) buffers + store mask -> store-format dense K window.
 
     ``wog_buf`` may be None (lazy-wog mode): the wog output is then all
@@ -102,14 +193,26 @@ def compact_edges_route(mi_buf, wog_buf, store_mask, i0, K: int, LN: int = 128,
     row_lines = Lp // LN
 
     wd = mi_buf.dtype  # f32, or f64 in x64 oracle-test mode
-    jidx = jax.lax.broadcasted_iota(wd, (T, Lp), 1) + wd.type(j_offset)
-    if wog_buf is None:
-        (r_mi, r_j), counts = route_rows(store_mask, (mi_buf, jidx))
-        r_wog = None
-    else:
-        (r_mi, r_wog, r_j), counts = route_rows(
-            store_mask, (mi_buf, wog_buf.astype(wd), jidx)
+    if pallas_route is None:
+        pallas_route = (
+            jax.default_backend() == "tpu" and wd == jnp.float32
+            and T % 8 == 0 and Lp % 128 == 0
         )
+    if pallas_route:
+        # VMEM-resident routing rounds (HBM reads each array once vs
+        # ~log2(W) full roll+select passes in the XLA fallback)
+        r_mi, r_j, r_wog, counts = route_rows_pallas(
+            store_mask, mi_buf, wog_buf, j_offset=j_offset
+        )
+    else:
+        jidx = jax.lax.broadcasted_iota(wd, (T, Lp), 1) + wd.type(j_offset)
+        if wog_buf is None:
+            (r_mi, r_j), counts = route_rows(store_mask, (mi_buf, jidx))
+            r_wog = None
+        else:
+            (r_mi, r_wog, r_j), counts = route_rows(
+                store_mask, (mi_buf, wog_buf.astype(wd), jidx)
+            )
 
     # line bookkeeping: i-row r contributes lines_r = ceil(counts_r/LN)
     lines_r = -(-counts // LN)

@@ -224,7 +224,11 @@ def sharded_sweep(
     LN = st.store_lanes
     KL = K // LN
     G = engine.config.rows_per_dispatch
-    cap_lines = max(engine.config.store_capacity // n_dev, 2 * K) // LN
+    # per-device stores must fit one dispatch batch (G per-row windows);
+    # the epoch drain below recycles them when a sweep outgrows capacity
+    cap_lines = max(
+        engine.config.store_capacity // n_dev, 2 * K, G * K
+    ) // LN
     bd = jnp.float32 if st.cdtype == jnp.float32 else st.cdtype
     thr = jnp.asarray(threshold, bd)
 
@@ -291,10 +295,42 @@ def sharded_sweep(
     overflow_rows: list[int] = []
     expected_off = np.zeros(n_dev, np.int64)
     offs_np = np.zeros(n_dev, np.int32)
+    # epoch-drained pieces (filtered of truncated overflow rows at drain
+    # time — a row's overflow is detected in its own batch, before any
+    # later drain, so the current overflow_rows list always covers the
+    # drained data); same design as MIEngine.sweep's packed epochs
+    ep_i: list = []
+    ep_j: list = []
+    ep_m: list = []
+    ep_w: list = []
+
+    def drain_filtered(mi_s, wog_s, ip_s, jp_s, colmax_d, offs):
+        s_i, s_j, s_m, s_w, s_c = drain_now(
+            mi_s, wog_s, ip_s, jp_s, colmax_d, offs
+        )
+        if overflow_rows:
+            bad = np.isin((s_i // T) * T, np.asarray(overflow_rows, np.int64))
+            s_i, s_j = s_i[~bad], s_j[~bad]
+            s_m, s_w = s_m[~bad], s_w[~bad]
+        return s_i, s_j, s_m, s_w, s_c
+
     ck_rows = 0
     t_compute0 = time.perf_counter()
     steps = [order[s0 : s0 + per_step] for s0 in range(0, len(order), per_step)]
     for batch in steps:
+        if (expected_off + G * KL > cap_lines).any():
+            # recycle the per-device stores: drain everything written so
+            # far, then continue appending from line 0 (capacity bounds
+            # the drain cadence, not the sweep's total edges)
+            s_i, s_j, s_m, s_w, s_c = drain_filtered(
+                mi_s, wog_s, ip_s, jp_s, colmax_d, offs_np
+            )
+            ep_i.append(s_i); ep_j.append(s_j)
+            ep_m.append(s_m); ep_w.append(s_w)
+            colmax_host = np.maximum(colmax_host, s_c)
+            offset = shard_init((n_dev,), np.int32)
+            expected_off[:] = 0
+            offs_np = np.zeros(n_dev, np.int32)
         t0 = time.perf_counter()
         # device d gets batch[d::n_dev]: a cheap/expensive mix from the
         # balanced interleaving
@@ -328,42 +364,34 @@ def sharded_sweep(
         ck_rows += per_step
         if checkpoint_path and ck_rows >= checkpoint_every and batch is not steps[-1]:
             ck_rows = 0
-            s_i, s_j, s_m, s_w, s_c = drain_now(
+            s_i, s_j, s_m, s_w, s_c = drain_filtered(
                 mi_s, wog_s, ip_s, jp_s, colmax_d, offs_np
             )
-            save_done = done_rows
-            if overflow_rows:  # overflowed rows hold truncated edges:
-                ov = np.asarray(overflow_rows, np.int64)
-                bad = np.isin((s_i // T) * T, ov)
-                s_i, s_j = s_i[~bad], s_j[~bad]
-                s_m, s_w = s_m[~bad], s_w[~bad]
-                save_done = done_rows - set(overflow_rows)
+            save_done = done_rows - set(overflow_rows)
             if jax.process_index() == 0:
                 ckpt_mod.save(
                     checkpoint_path,
                     ckpt_mod.SweepCheckpoint(
                         ck_key, save_done, np.maximum(colmax_host, s_c),
-                        all_i + [s_i], all_j + [s_j],
-                        all_mi + [s_m], all_wog + [s_w],
+                        all_i + ep_i + [s_i], all_j + ep_j + [s_j],
+                        all_mi + ep_m + [s_m], all_wog + ep_w + [s_w],
                     ),
                 )
     t_compute = time.perf_counter() - t_compute0
 
-    if (expected_off > cap_lines - KL).any():
-        raise RuntimeError(
-            f"edge store overflow: per-device capacity {cap_lines * LN} "
-            f"exceeded; raise --mi-threshold or the engine store_capacity"
-        )
-
     t_fetch0 = time.perf_counter()
-    s_i, s_j, s_m, s_w, s_c = drain_now(mi_s, wog_s, ip_s, jp_s, colmax_d, offs_np)
+    s_i, s_j, s_m, s_w, s_c = drain_filtered(
+        mi_s, wog_s, ip_s, jp_s, colmax_d, offs_np
+    )
     t_fetch = time.perf_counter() - t_fetch0
     colmax_host = np.maximum(colmax_host, s_c)
+    all_i.extend(ep_i)
+    all_j.extend(ep_j)
+    all_mi.extend(ep_m)
+    all_wog.extend(ep_w)
 
     t_overflow0 = time.perf_counter()
     if overflow_rows:
-        bad = np.isin((s_i // T) * T, np.asarray(overflow_rows, np.int64))
-        s_i, s_j, s_m, s_w = s_i[~bad], s_j[~bad], s_m[~bad], s_w[~bad]
         for i0 in overflow_rows:
             # replicated re-extraction: identical on every process
             mi_buf, wog_buf, store_base, _ = jax.tree.map(
@@ -386,7 +414,10 @@ def sharded_sweep(
         timings["fetch_s"] = t_fetch
         timings["overflow_s"] = time.perf_counter() - t_overflow0
         timings["overflow_rows"] = len(overflow_rows)
-        timings["fetched_edges"] = int(offs_np.sum()) * LN
+        timings["fetched_edges"] = int(offs_np.sum()) * LN + sum(
+            len(x) for x in ep_i
+        )
+        timings["epoch_drains"] = len(ep_i)
 
     if checkpoint_path and jax.process_index() == 0:
         import os

@@ -79,3 +79,27 @@ def test_repack_poisons_when_staging_buffer_clamps():
     assert int(count) > K
     if int(count) == 1 << 30:  # poisoned: nothing may masquerade as an edge
         assert np.all(vals == 0) and np.all(jpos == 0)
+
+
+@pytest.mark.parametrize("with_wog", [False, True])
+@pytest.mark.parametrize("density", [0.0, 0.01, 0.3, 1.0])
+def test_route_pallas_matches_xla(density, with_wog):
+    """The VMEM-resident Pallas routing must produce the bit-identical
+    store window as the XLA roll/select routing, on both payload
+    configurations (lazy mi-only and dual mi+wog)."""
+    import jax.numpy as jnp
+    from spydrpick_tpu.ops.compact_route import compact_edges_route
+
+    rng = np.random.default_rng(int(density * 100) + 3 + with_wog)
+    T, Lp, i0, K = 16, 1024, 0, 2048
+    mi = jnp.asarray(rng.random((T, Lp)).astype(np.float32))
+    wog = jnp.asarray((np.asarray(mi) * 0.5).astype(np.float32)) if with_wog else None
+    mask = jnp.asarray(rng.random((T, Lp)) < density)
+    a = compact_edges_route(mi, wog, mask, i0, K, j_offset=128,
+                            pallas_route=False)
+    b = compact_edges_route(mi, wog, mask, i0, K, j_offset=128,
+                            pallas_route=True)
+    for x, y, name in zip(a, b, ("vals", "wogs", "ipos", "jpos", "count",
+                                 "lines")):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=name)

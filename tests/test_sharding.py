@@ -56,3 +56,28 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_sharded_epoch_recycling_matches():
+    """Per-device stores smaller than the sweep's edge volume must
+    recycle in epochs (mid-sweep collective drains) with the identical
+    merged EdgeSet; overflowed rows stay exact across epochs."""
+    al = random_alignment(n_samples=50, n_loci=160, seed=41, gap_frac=0.1)
+    ref = MIEngine(al, EngineConfig(tile=16, edge_capacity=4096)).sweep(-1.0)
+    # K=512 per-row window: block-rows can reach 16*160 = 2560 > K, so
+    # some rows overflow; store 2 dispatch batches per device at most
+    # per-device cap collapses to the G*K floor (1024 slots = 8 lines =
+    # one dispatch batch), so every batch fills the store -> epoch drain
+    tiny = MIEngine(al, EngineConfig(
+        tile=16, edge_capacity=512, store_capacity=1 << 10,
+        rows_per_dispatch=2,
+    ))
+    timings: dict = {}
+    sharded = sharded_sweep(tiny, -1.0, make_mesh(2), timings=timings)
+    assert timings["epoch_drains"] >= 1
+    si, sj, sm, sw = _key(ref)
+    mi_, mj, mm, mw = _key(sharded)
+    np.testing.assert_array_equal(si, mi_)
+    np.testing.assert_array_equal(sj, mj)
+    np.testing.assert_allclose(sm, mm, rtol=1e-6)
+    np.testing.assert_allclose(sw, mw, rtol=1e-6)
