@@ -9,6 +9,7 @@ plus ``--seed`` (determinism fix) and engine-tuning flags.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from spydrpick_tpu.engine.aracne import DEFAULT_EDGE_THRESHOLD
@@ -25,6 +26,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("alignmentfile", nargs="?", help="input FASTA alignment")
     p.add_argument("--version", action="store_true", help="print version information")
     p.add_argument("-v", "--verbose", action="store_true", help="be verbose")
+    p.add_argument("-t", "--threads", type=int, default=-1,
+                   help="host threads for the native (OpenMP) ARACNE/FASTA "
+                        "kernels; -1 = all hardware threads (reference "
+                        "SpydrPick_options.cpp:158 — the MI sweep itself "
+                        "runs on the TPU and ignores this)")
 
     g = p.add_argument_group("MI options")
     g.add_argument("--mi-threshold", type=float, default=-1.0,
@@ -126,6 +132,8 @@ def main(argv=None) -> int:
         return 1
 
     print(version_string())
+    if args.threads and args.threads > 0:
+        os.environ.setdefault("OMP_NUM_THREADS", str(args.threads))
     if args.coordinator_address or (args.num_processes and args.num_processes > 1):
         from spydrpick_tpu.parallel.distributed import initialize_multihost
 

@@ -964,13 +964,17 @@ class MIEngine:
         ck_rows = 0
         inflight: list[tuple[list[int], object, object, float]] = []
 
+        sync_wait = 0.0
+
         def resolve_one():
             """Collect one in-flight group's counts (bookkeeping +
             watermark-driven chunk fetches + progress)."""
-            nonlocal expected_offset
+            nonlocal expected_offset, sync_wait
             grp, counts, lines_a, g_t0 = inflight.pop(0)
+            t_w0 = time.perf_counter()
             counts_np = np.asarray(counts)
             lines_np = np.asarray(lines_a)
+            sync_wait += time.perf_counter() - t_w0
             for r, i0 in enumerate(grp):
                 done_rows.add(i0)
                 n = int(counts_np[r])
@@ -1120,6 +1124,10 @@ class MIEngine:
                 fetched_lines_total if packed else expected_offset
             ) * LN
             timings["epoch_drains"] = epoch_drains
+            # host time blocked on per-group counts syncs: device compute
+            # hides under it at depth 1, but the tail of each wait past
+            # group completion is dispatch-gap idle
+            timings["sync_wait_s"] = sync_wait
             timings["drain"] = (
                 "legacy" if not packed
                 else ("packed+wog" if wog_full else "packed")
