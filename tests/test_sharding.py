@@ -81,3 +81,18 @@ def test_sharded_epoch_recycling_matches():
     np.testing.assert_array_equal(sj, mj)
     np.testing.assert_allclose(sm, mm, rtol=1e-6)
     np.testing.assert_allclose(sw, mw, rtol=1e-6)
+
+
+def test_sharded_codes_storage_matches():
+    """Sharded sweep with the codes-resident alignment (one-hot expanded
+    per tile) must equal the dense single-device sweep."""
+    al = random_alignment(n_samples=40, n_loci=96, seed=43, gap_frac=0.1)
+    ref = MIEngine(al, EngineConfig(tile=16)).sweep(0.02)
+    codes = MIEngine(al, EngineConfig(tile=16, onehot_storage="codes"))
+    sharded = sharded_sweep(codes, 0.02, make_mesh(4))
+    si, sj, sm, sw = _key(ref)
+    mi_, mj, mm, mw = _key(sharded)
+    np.testing.assert_array_equal(si, mi_)
+    np.testing.assert_array_equal(sj, mj)
+    np.testing.assert_allclose(sm, mm, rtol=1e-6)
+    np.testing.assert_allclose(sw, mw, rtol=1e-6)
