@@ -10,12 +10,20 @@
 # Scripts should print progress (flush=True) regularly.
 #
 # usage: scripts/tpu_run.sh <script.py> [args...]
-# env: TPU_RUN_TIMEOUT (default 540s), TPU_RUN_STALL (default 150s)
+# env: TPU_RUN_TIMEOUT (default 540s), TPU_RUN_STALL (default 150s),
+#      TPU_RUN_INIT_STALL (default 150s)
+#
+# Two-phase stall window: until the log shows real output (script
+# banner past the jax warning), use the short INIT_STALL — init wedges
+# show ~0 client CPU and no output.  After first output, use STALL —
+# server-side mosaic compiles also show ~0 client CPU but are alive,
+# so give them a longer leash.
 
 set -u
 LOG=$(mktemp)
 trap 'rm -f "$LOG"' EXIT
 STALL="${TPU_RUN_STALL:-150}"
+INIT_STALL="${TPU_RUN_INIT_STALL:-150}"
 TOTAL="${TPU_RUN_TIMEOUT:-540}"
 
 cpu_ticks() { awk '{print $14+$15}' "/proc/$1/stat" 2>/dev/null || echo ""; }
@@ -42,7 +50,13 @@ for attempt in 1 2 3 4 5 6; do
       last_size=$size
     fi
     last_cpu=${cpu:-$last_cpu}
-    if [ $((now - last_change)) -ge "$STALL" ] || [ $((now - start)) -ge "$TOTAL" ]; then
+    # init phase: no output beyond the jax platform warning yet
+    if grep -qv "xla_bridge" "$LOG" 2>/dev/null && [ "$size" -gt 0 ]; then
+      window="$STALL"
+    else
+      window="$INIT_STALL"
+    fi
+    if [ $((now - last_change)) -ge "$window" ] || [ $((now - start)) -ge "$TOTAL" ]; then
       wedged=1
       break
     fi
