@@ -136,6 +136,8 @@ def main():
         al,
         EngineConfig(tile=tile, use_pallas_compact=compact,
                      rows_per_dispatch=rows_per_dispatch,
+                     pipeline_depth=int(os.environ.get("BENCH_DEPTH", 1)),
+                     onehot_storage=os.environ.get("BENCH_ONEHOT", "auto"),
                      wog_fetch=os.environ.get("BENCH_WOG_FETCH", "outliers")),
     )
     print("# engine ready", flush=True)

@@ -67,6 +67,10 @@ class EngineConfig:
     storage_dtype: str = "bfloat16" # one-hot HBM layout
     store_capacity: int = 1 << 24   # device-resident edge store (cap per run)
     rows_per_dispatch: int = 8      # block-rows per device dispatch
+    # counts-sync pipeline depth (host loop): 1 = synchronous per-group
+    # resolve; 2 = bounded lag-1 (next group dispatched before the
+    # previous group's counts are read)
+    pipeline_depth: int = 1
     # MXU passes for the f32 crosstable matmul: "highest" = 6-pass
     # (full f32), "high" = 3-pass. The one-hot operand is exact in
     # bf16, so "high" splits only the weighted side and is ~f32-exact;
@@ -987,17 +991,19 @@ class MIEngine:
                 progress(grp[0], min(grp[-1] + T, L),
                          int(counts_np.sum()), time.perf_counter() - g_t0)
 
-        # NOTE: resolve counts synchronously (depth 1).  A lag-1
-        # pipeline was measured SLOWER (5.9 s vs 4.3 s at the bench
-        # config): without the blocking sync the host runs ahead and
-        # every watermark-driven chunk fetch enqueues behind later
-        # groups' compute on the device stream, so the drain stops
-        # overlapping and piles up at the end.  The sync's round-trip
-        # largely hides under device compute anyway.
-        depth = 1
+        # pipeline_depth 1 resolves each group's counts synchronously
+        # (device idles ~a round trip per group while the host learns
+        # completion and dispatches the next); depth 2 bounds the lag to
+        # one group — the next group is dispatched before the previous
+        # group's counts are read, and its chunk fetches enqueue behind
+        # exactly one group of compute.  (An earlier unbounded-lag
+        # attempt measured slower: with the host free-running, every
+        # chunk fetch piled up at the end of the sweep.)
+        depth = max(1, self.config.pipeline_depth)
         t_compute0 = time.perf_counter()
         for gi, (gw, group) in enumerate(groups):
-            if packed and expected_offset + len(group) * KL > cap_lines:
+            pend_lines = sum(len(g) for g, *_ in inflight) * KL
+            if packed and expected_offset + pend_lines + len(group) * KL > cap_lines:
                 # next group might not fit: sync in-flight bookkeeping,
                 # then recycle the store (store writes clamp at
                 # cap_lines - KL, so this must happen *before* dispatch)
@@ -1017,7 +1023,7 @@ class MIEngine:
             lines_a.copy_to_host_async()
             inflight.append((group, counts, lines_a, t0))
             while len(inflight) >= depth:
-                resolve_one()
+                resolve_one()  # depth 1: drains to empty (synchronous)
             ck_rows += len(group)
             if checkpoint_path and ck_rows >= checkpoint_every and gi < len(groups) - 1:
                 ck_rows = 0

@@ -288,3 +288,20 @@ def test_packed_drain_multiple_chunks():
     np.testing.assert_array_equal(e1.ipos, e2.ipos)
     np.testing.assert_array_equal(e1.jpos, e2.jpos)
     np.testing.assert_array_equal(e1.mi, e2.mi)
+
+
+def test_pipeline_depth_two_matches():
+    """Bounded lag-1 counts pipelining must not change results (it only
+    reorders host syncs), including across epoch drains."""
+    al = random_alignment(n_samples=40, n_loci=512, seed=79, gap_frac=0.1)
+    d1 = MIEngine(al, EngineConfig(tile=64)).sweep(0.01).sort_desc()
+    eng = MIEngine(al, EngineConfig(tile=64, pipeline_depth=2,
+                                    edge_capacity=1 << 15,
+                                    store_capacity=1 << 16,
+                                    rows_per_dispatch=2))
+    timings: dict = {}
+    d2 = eng.sweep(0.01, timings=timings).sort_desc()
+    np.testing.assert_array_equal(d1.ipos, d2.ipos)
+    np.testing.assert_array_equal(d1.jpos, d2.jpos)
+    np.testing.assert_array_equal(d1.mi, d2.mi)
+    np.testing.assert_array_equal(d1.mi_wog, d2.mi_wog)
