@@ -98,6 +98,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "auto switches to codes past 1 GiB — large alignments)")
     g.add_argument("--rows-per-dispatch", type=int, default=8,
                    help="block-rows swept per device dispatch")
+    g.add_argument("--pipeline-depth", type=int, default=1,
+                   help="counts-sync pipeline depth (2 = dispatch the next "
+                        "group before reading the previous group's counts)")
     g.add_argument("--use-pallas", choices=["auto", "on", "off"], default="auto",
                    help="fused Pallas MI kernel (auto: on TPU with aligned tiles)")
     g.add_argument("--use-pallas-compact", choices=["auto", "on", "off"], default="auto",
@@ -180,6 +183,7 @@ def main(argv=None) -> int:
         store_capacity=args.store_capacity,
         onehot_storage=args.onehot_storage,
         rows_per_dispatch=args.rows_per_dispatch,
+        pipeline_depth=args.pipeline_depth,
         use_pallas=args.use_pallas,
         use_pallas_compact=args.use_pallas_compact,
         matmul_precision=args.matmul_precision,

@@ -86,6 +86,7 @@ class PipelineOptions:
     store_capacity: int = 1 << 24
     onehot_storage: str = "auto"
     rows_per_dispatch: int = 8
+    pipeline_depth: int = 1
     use_pallas: str = "auto"
     use_pallas_compact: str = "auto"
     matmul_precision: str = "high"
@@ -205,6 +206,7 @@ def run_pipeline(opts: PipelineOptions, write_outputs: bool = True) -> PipelineR
         store_capacity=opts.store_capacity,
         onehot_storage=opts.onehot_storage,
         rows_per_dispatch=opts.rows_per_dispatch,
+        pipeline_depth=opts.pipeline_depth,
         use_pallas=opts.use_pallas,
         use_pallas_compact=opts.use_pallas_compact,
         matmul_precision=opts.matmul_precision,
