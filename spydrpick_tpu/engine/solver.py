@@ -142,6 +142,9 @@ class SweepStatics:
     # faster than 256 at S~3k; smaller blocks bound the zero-row
     # padding for small alignments — see scripts/perf_kernel_sweep.py)
     pallas_bs: int = 256
+    # Pallas kernel (bi, bj) column-block sizes (see mi_pallas.BI/BJ)
+    pallas_bi: int = 128
+    pallas_bj: int = 128
     # codes-resident alignment (see EngineConfig.onehot_storage)
     onehot_codes: bool = False
     storage_dtype: str = "bfloat16"
@@ -334,6 +337,7 @@ def row_buffers(data: DeviceData, st: SweepStatics, i0, dual: bool | None = None
                     xi_hi, xi_lo, xj.astype(jnp.bfloat16),
                     ipf.astype(jnp.float32), jpf.astype(jnp.float32),
                     pseudocount=st.pseudocount, bs=st.pallas_bs,
+                    bi=st.pallas_bi, bj=st.pallas_bj,
                 )
                 return mi, None
             ipwf = jax.lax.dynamic_slice_in_dim(data.presence_wog, i0, T, 0).reshape(-1)
@@ -343,6 +347,7 @@ def row_buffers(data: DeviceData, st: SweepStatics, i0, dual: bool | None = None
                 ipf.astype(jnp.float32), jpf.astype(jnp.float32),
                 ipwf.astype(jnp.float32), jpwf.astype(jnp.float32),
                 pseudocount=st.pseudocount, bs=st.pallas_bs,
+                bi=st.pallas_bi, bj=st.pallas_bj,
             )
             return mi, _wog_effective(data, st, mi, mi_wog, i0, j0)
         if not dual:
@@ -653,7 +658,7 @@ def build_device_data(alignment: Alignment, config: EngineConfig) -> tuple[Devic
         sdtype = jnp.float64  # keep everything f64 in x64 test mode
 
     # resolve the fused-kernel flag: needs TPU + kernel-aligned tiles
-    from spydrpick_tpu.ops.mi_pallas import BI as _BI, BS as _BS
+    from spydrpick_tpu.ops.mi_pallas import BI as _BI, BJ as _BJ, BS as _BS
 
     if config.use_pallas == "on":
         use_pallas = True
@@ -736,6 +741,8 @@ def build_device_data(alignment: Alignment, config: EngineConfig) -> tuple[Devic
         compaction=compaction,
         wog_lazy=config.wog_fetch == "outliers",
         pallas_bs=pallas_bs,
+        pallas_bi=_BI,
+        pallas_bj=int(os.environ.get("SPYDRPICK_PALLAS_BJ", _BJ)),
         onehot_codes=oh_mode == "codes",
         storage_dtype=str(jnp.dtype(sdtype)),
     )
