@@ -1006,7 +1006,10 @@ class MIEngine:
         # exactly one group of compute.  (An earlier unbounded-lag
         # attempt measured slower: with the host free-running, every
         # chunk fetch piled up at the end of the sweep.)
-        depth = max(1, self.config.pipeline_depth)
+        # checkpointing requires synchronous resolves: a snapshot taken
+        # with an unresolved in-flight group would hold its edges in the
+        # store while done_rows lacks the rows -> duplicates on resume
+        depth = 1 if checkpoint_path else max(1, self.config.pipeline_depth)
         t_compute0 = time.perf_counter()
         for gi, (gw, group) in enumerate(groups):
             pend_lines = sum(len(g) for g, *_ in inflight) * KL
