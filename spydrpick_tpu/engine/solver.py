@@ -742,7 +742,9 @@ def build_device_data(alignment: Alignment, config: EngineConfig) -> tuple[Devic
         wog_lazy=config.wog_fetch == "outliers",
         pallas_bs=pallas_bs,
         pallas_bi=_BI,
-        pallas_bj=int(os.environ.get("SPYDRPICK_PALLAS_BJ", _BJ)),
+        pallas_bj=(lambda b: b if tile % b == 0 else _BJ)(
+            int(os.environ.get("SPYDRPICK_PALLAS_BJ", _BJ))
+        ),
         onehot_codes=oh_mode == "codes",
         storage_dtype=str(jnp.dtype(sdtype)),
     )
