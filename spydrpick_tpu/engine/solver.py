@@ -148,6 +148,12 @@ class SweepStatics:
     # codes-resident alignment (see EngineConfig.onehot_storage)
     onehot_codes: bool = False
     storage_dtype: str = "bfloat16"
+    # sample-axis sharding (2-D mesh, parallel/mesh.py:sharded_sweep):
+    # when set, S is the LOCAL sample-shard size and every per-tile
+    # crosstable is psum-merged over this mesh axis before the entropy
+    # stage — the alignment never needs to be replicated (the S=20k+
+    # configs whose one-hot exceeds a chip's HBM).  XLA path only.
+    psum_axis: str | None = None
 
     @property
     def cdtype(self):
@@ -263,6 +269,12 @@ def tile_mi_pair(data: DeviceData, st: SweepStatics, xi_w, xj, i0, j0):
     (TI,TJ,5,5) layout dominated the sweep on hardware)."""
     T = st.tile
     C = crosstab_tile_flat(xi_w, xj, dtype=_buf_dtype(st), precision=st.precision)
+    if st.psum_axis:
+        # sample-sharded crosstable: every device contributes its
+        # sample shard's weighted coincidence counts (SURVEY §7.9's
+        # collective analogue of Graph::join, but one level lower —
+        # at the count accumulation the reference does in-thread)
+        C = jax.lax.psum(C, st.psum_axis)
     ipf = jax.lax.dynamic_slice_in_dim(data.presence, i0, T, 0).reshape(-1)
     jpf = jax.lax.dynamic_slice_in_dim(data.presence, j0, T, 0).reshape(-1)
     ipwf = jax.lax.dynamic_slice_in_dim(data.presence_wog, i0, T, 0).reshape(-1)
@@ -283,6 +295,8 @@ def tile_mi_single(data: DeviceData, st: SweepStatics, xi_w, xj, i0, j0):
     identical to tile_mi_pair's first output)."""
     T = st.tile
     C = crosstab_tile_flat(xi_w, xj, dtype=_buf_dtype(st), precision=st.precision)
+    if st.psum_axis:
+        C = jax.lax.psum(C, st.psum_axis)
     ipf = jax.lax.dynamic_slice_in_dim(data.presence, i0, T, 0).reshape(-1)
     jpf = jax.lax.dynamic_slice_in_dim(data.presence, j0, T, 0).reshape(-1)
     return mi_from_crosstab_flat(C, ipf, jpf, st.pseudocount)

@@ -65,11 +65,27 @@ def _smap(**kw):
     return partial(shard_map, **{flag: False}, **kw)
 
 
-def make_mesh(n_devices: int | None = None) -> Mesh:
+def make_mesh(n_devices: int | None = None, n_samples: int = 1) -> Mesh:
+    """1-D row mesh, or a 2-D (rows, samples) mesh when n_samples > 1.
+
+    The samples axis shards the alignment itself (each device holds
+    S/n_samples sequences) and per-tile crosstables are psum-merged
+    over it — for alignments too large to replicate per chip (the
+    S=20k x L=1M BASELINE config: one-hot ~20 GB > HBM)."""
     devices = jax.devices()
     if n_devices is not None:
-        devices = devices[:n_devices]
-    return Mesh(np.array(devices), axis_names=("rows",))
+        devices = devices[: n_devices * n_samples]
+    if n_samples == 1:
+        return Mesh(np.array(devices), axis_names=("rows",))
+    arr = np.array(devices).reshape(-1, n_samples)
+    return Mesh(arr, axis_names=("rows", "samples"))
+
+
+def _mesh_shape(mesh: Mesh) -> tuple[int, int]:
+    """(row shards, sample shards) of a 1-D or 2-D sweep mesh."""
+    n_rows = mesh.shape["rows"]
+    n_samp = mesh.shape.get("samples", 1)
+    return n_rows, n_samp
 
 
 def make_sharded_row_step(mesh: Mesh, st: SweepStatics):
@@ -115,7 +131,23 @@ def make_sharded_group_step(mesh: Mesh, st: SweepStatics):
     for the host; stores stay on device until :func:`make_drain`.
     Stores and carries are donated, so they update in place.
     """
-    data_specs = jax.tree.map(lambda _: P(), DeviceData(*[0] * 6))
+    n_rows_sh, n_samp = _mesh_shape(mesh)
+    if n_samp > 1:
+        # sample-sharded mode: S in the step's statics is the LOCAL
+        # shard size; every per-tile crosstable psums over "samples"
+        # (solver.tile_mi_*), so all sample-ranks hold identical MI and
+        # their stores stay replicated.  XLA tile path (no Pallas).
+        import dataclasses as _dc
+
+        assert st.S % n_samp == 0, (st.S, n_samp)
+        st = _dc.replace(st, S=st.S // n_samp, psum_axis="samples",
+                         use_pallas=False)
+        data_specs = DeviceData(
+            onehot=P("samples", None), weights=P("samples"),
+            presence=P(), presence_wog=P(), gap=P(), orig_pos=P(),
+        )
+    else:
+        data_specs = jax.tree.map(lambda _: P(), DeviceData(*[0] * 6))
     sh = P("rows")
 
     @partial(jax.jit, donate_argnums=(3, 4, 5, 6, 7, 8, 9))
@@ -131,9 +163,9 @@ def make_sharded_group_step(mesh: Mesh, st: SweepStatics):
             data, st, row_starts[0], thr, colmax[0], mi_s[0], wog_s[0],
             ip_s[0], jp_s[0], offset[0], total[0],
         )
-        counts_all = jax.lax.all_gather(counts, "rows")    # (n_dev, G)
-        lines_all = jax.lax.all_gather(lines, "rows")      # (n_dev, G)
-        offs_all = jax.lax.all_gather(offset1, "rows")     # (n_dev,)
+        counts_all = jax.lax.all_gather(counts, "rows")    # (n_rows, G)
+        lines_all = jax.lax.all_gather(lines, "rows")      # (n_rows, G)
+        offs_all = jax.lax.all_gather(offset1, "rows")     # (n_rows,)
         return (colmax1[None], mi_s1[None], wog_s1[None], ip_s1[None],
                 jp_s1[None], offset1[None], total1[None],
                 counts_all, lines_all, offs_all)
@@ -205,12 +237,46 @@ def sharded_sweep(
             "sharded_sweep drains the full wog store; build the engine "
             "with wog_fetch='full'"
         )
-    n_dev = mesh.devices.size
-    step = make_sharded_group_step(mesh, st)
+    n_dev, n_samp = _mesh_shape(mesh)
 
     data = engine.data
+    if n_samp > 1:
+        # sample-sharded alignment: pad S to the shard count (zero
+        # weights / pad codes contribute nothing to the crosstables),
+        # then split the sample axis across the "samples" mesh axis
+        import dataclasses as _dc
+
+        S_pad = -(-st.S // n_samp) * n_samp
+        if S_pad != st.S:
+            pad = S_pad - st.S
+            oh_pad = (
+                np.full((pad, data.onehot.shape[1]), 255, np.uint8)
+                if st.onehot_codes
+                else np.zeros((pad, data.onehot.shape[1]),
+                              np.asarray(data.onehot).dtype)
+            )
+            data = data._replace(
+                onehot=jnp.concatenate(
+                    [data.onehot, jnp.asarray(oh_pad)], axis=0),
+                weights=jnp.concatenate(
+                    [data.weights,
+                     jnp.zeros(pad, data.weights.dtype)], axis=0),
+            )
+            st = _dc.replace(st, S=S_pad)
+        shd = lambda x, spec: jax.device_put(
+            np.asarray(x), jax.sharding.NamedSharding(mesh, spec))
+        data = DeviceData(
+            onehot=shd(data.onehot, P("samples", None)),
+            weights=shd(data.weights, P("samples")),
+            presence=shd(data.presence, P()),
+            presence_wog=shd(data.presence_wog, P()),
+            gap=shd(data.gap, P()),
+            orig_pos=shd(data.orig_pos, P()),
+        )
+    step = make_sharded_group_step(mesh, st)
+
     multiprocess = len({d.process_index for d in mesh.devices.flat}) > 1
-    if multiprocess:
+    if multiprocess and n_samp == 1:
         # commit the replicated operands to the global mesh: every
         # process holds identical host copies (same alignment), so a
         # fully-replicated device_put is well-defined across hosts

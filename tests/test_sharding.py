@@ -96,3 +96,25 @@ def test_sharded_codes_storage_matches():
     np.testing.assert_array_equal(sj, mj)
     np.testing.assert_allclose(sm, mm, rtol=1e-6)
     np.testing.assert_allclose(sw, mw, rtol=1e-6)
+
+
+def test_sample_sharded_2d_mesh_matches():
+    """2-D (rows x samples) mesh: the alignment itself is sharded over
+    the samples axis and per-tile crosstables psum-merge — results must
+    equal the single-device sweep (incl. a sample count that does not
+    divide the shard count, exercising the zero-weight pad)."""
+    al = random_alignment(n_samples=45, n_loci=96, seed=47, gap_frac=0.1)
+    ref = MIEngine(al, EngineConfig(tile=16)).sweep(0.02)
+    eng = MIEngine(al, EngineConfig(tile=16))
+    mesh = make_mesh(2, n_samples=4)  # 2x4 = 8 virtual devices
+    assert mesh.shape == {"rows": 2, "samples": 4}
+    sharded = sharded_sweep(eng, 0.02, mesh)
+    si, sj, sm, sw = _key(ref)
+    mi_, mj, mm, mw = _key(sharded)
+    np.testing.assert_array_equal(si, mi_)
+    np.testing.assert_array_equal(sj, mj)
+    # the psum splits the sample reduction into per-shard partials, so
+    # agreement is at f32 accumulation-order level, not bitwise
+    np.testing.assert_allclose(sm, mm, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(sw, mw, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(ref.colmax, sharded.colmax, rtol=1e-4)
