@@ -116,6 +116,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--profile-dir", help="write a jax.profiler trace here")
     g.add_argument("--sharded", action="store_true",
                    help="shard the sweep over all visible devices")
+    g.add_argument("--sample-shards", type=int, default=1,
+                   help="with --sharded: shard the alignment itself over this "
+                        "many devices (2-D rows x samples mesh; for alignments "
+                        "too large to replicate per chip)")
 
     g = p.add_argument_group("multi-host options")
     g.add_argument("--coordinator-address",
@@ -192,6 +196,7 @@ def main(argv=None) -> int:
         checkpoint_every=args.checkpoint_every,
         profile_dir=args.profile_dir,
         sharded=args.sharded,
+        sample_shards=args.sample_shards,
     )
     try:
         run_pipeline(opts)

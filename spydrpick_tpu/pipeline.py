@@ -95,6 +95,7 @@ class PipelineOptions:
     checkpoint_every: int = 16
     profile_dir: str | None = None      # jax.profiler trace output dir
     sharded: bool = False               # multi-device sharded sweep
+    sample_shards: int = 1              # 2-D mesh: shard the alignment itself
 
 
 @dataclasses.dataclass
@@ -250,11 +251,19 @@ def run_pipeline(opts: PipelineOptions, write_outputs: bool = True) -> PipelineR
         if opts.sharded:
             import jax
 
-            from spydrpick_tpu.parallel.mesh import sharded_sweep
+            from spydrpick_tpu.parallel.mesh import make_mesh, sharded_sweep
 
             if len(jax.devices()) > 1:
+                mesh = None
+                if opts.sample_shards > 1:
+                    # 2-D (rows x samples) mesh: the alignment is
+                    # sharded over the samples axis (see parallel/mesh)
+                    mesh = make_mesh(
+                        len(jax.devices()) // opts.sample_shards,
+                        n_samples=opts.sample_shards,
+                    )
                 edges = sharded_sweep(
-                    engine, mi_threshold,
+                    engine, mi_threshold, mesh,
                     progress=progress if opts.verbose else None,
                     checkpoint_path=opts.checkpoint,
                     checkpoint_every=opts.checkpoint_every,
