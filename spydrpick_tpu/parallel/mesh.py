@@ -227,6 +227,12 @@ def sharded_sweep(
     replicated counts cross to the host; the edge payload is gathered
     once at the end (and at checkpoints).  Safe for multi-process runs —
     no host access to non-addressable shards.
+
+    Caveat (2-D sample-sharded meshes): the per-row overflow
+    re-extraction and the threshold tournament run on the unsharded
+    single-device engine — at scales where the alignment itself cannot
+    fit one device, raise edge_capacity so rows do not overflow and
+    supply --mi-threshold explicitly.
     """
     from spydrpick_tpu.engine import checkpoint as ckpt_mod
 
