@@ -28,7 +28,7 @@ def test_sample_permutation_invariance():
     i2, j2, m2 = key(e2)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_array_equal(j1, j2)
-    np.testing.assert_allclose(m1, m2, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(m1, m2, rtol=1e-4, atol=1e-6)
 
 
 def test_unit_weights_equal_unweighted_counts():
