@@ -148,6 +148,11 @@ class SweepStatics:
     # codes-resident alignment (see EngineConfig.onehot_storage)
     onehot_codes: bool = False
     storage_dtype: str = "bfloat16"
+    # every sample weight is exactly 1 (--no-sample-reweighting or no
+    # weights): the weighted one-hot IS the 0/1 one-hot, exact in bf16,
+    # so crosstables need a single DEFAULT-precision MXU pass (half the
+    # matmul work of the hi/lo split)
+    unit_weights: bool = False
     # sample-axis sharding (2-D mesh, parallel/mesh.py:sharded_sweep):
     # when set, S is the LOCAL sample-shard size and every per-tile
     # crosstable is psum-merged over this mesh axis before the entropy
@@ -166,6 +171,14 @@ class SweepStatics:
             "high": jax.lax.Precision.HIGH,
             "default": jax.lax.Precision.DEFAULT,
         }[self.matmul_precision]
+
+    @property
+    def xtab_precision(self):
+        """Crosstable matmul precision: with unit weights both operands
+        are 0/1 (bf16-exact), so a single DEFAULT pass is exact."""
+        if self.unit_weights:
+            return jax.lax.Precision.DEFAULT
+        return self.precision
 
     @property
     def store_lanes(self) -> int:
@@ -268,7 +281,8 @@ def tile_mi_pair(data: DeviceData, st: SweepStatics, xi_w, xj, i0, j0):
     ops/mi.py:crosstab_tile_flat for why (4% lane utilisation in the
     (TI,TJ,5,5) layout dominated the sweep on hardware)."""
     T = st.tile
-    C = crosstab_tile_flat(xi_w, xj, dtype=_buf_dtype(st), precision=st.precision)
+    C = crosstab_tile_flat(xi_w, xj, dtype=_buf_dtype(st),
+                           precision=st.xtab_precision)
     if st.psum_axis:
         # sample-sharded crosstable: every device contributes its
         # sample shard's weighted coincidence counts (SURVEY §7.9's
@@ -294,7 +308,8 @@ def tile_mi_single(data: DeviceData, st: SweepStatics, xi_w, xj, i0, j0):
     """mi only for the (i0, j0) tile — the lazy-wog hot path (bit-
     identical to tile_mi_pair's first output)."""
     T = st.tile
-    C = crosstab_tile_flat(xi_w, xj, dtype=_buf_dtype(st), precision=st.precision)
+    C = crosstab_tile_flat(xi_w, xj, dtype=_buf_dtype(st),
+                           precision=st.xtab_precision)
     if st.psum_axis:
         C = jax.lax.psum(C, st.psum_axis)
     ipf = jax.lax.dynamic_slice_in_dim(data.presence, i0, T, 0).reshape(-1)
@@ -330,7 +345,12 @@ def row_buffers(data: DeviceData, st: SweepStatics, i0, dual: bool | None = None
     if st.use_pallas:
         from spydrpick_tpu.ops.mi_pallas import split_bf16
 
-        xi_hi, xi_lo = split_bf16(xi_w.astype(jnp.float32))
+        if st.unit_weights and not dual:
+            # unit weights: xi_w is 0/1, exact in bf16 — single-pass
+            # kernel, no lo residual operand at all
+            xi_hi, xi_lo = xi_w.astype(jnp.bfloat16), None
+        else:
+            xi_hi, xi_lo = split_bf16(xi_w.astype(jnp.float32))
     else:
         xi_w = xi_w.astype(bd)
 
@@ -348,10 +368,12 @@ def row_buffers(data: DeviceData, st: SweepStatics, i0, dual: bool | None = None
             jpf = jax.lax.dynamic_slice_in_dim(data.presence, j0, T, 0).reshape(-1)
             if not dual:
                 mi = mi_tile_pallas_single(
-                    xi_hi, xi_lo, xj.astype(jnp.bfloat16),
+                    xi_hi, xi_hi if xi_lo is None else xi_lo,
+                    xj.astype(jnp.bfloat16),
                     ipf.astype(jnp.float32), jpf.astype(jnp.float32),
                     pseudocount=st.pseudocount, bs=st.pallas_bs,
                     bi=st.pallas_bi, bj=st.pallas_bj,
+                    n_passes=1 if xi_lo is None else 2,
                 )
                 return mi, None
             ipwf = jax.lax.dynamic_slice_in_dim(data.presence_wog, i0, T, 0).reshape(-1)
@@ -591,7 +613,7 @@ def pairs_mi_core(data: DeviceData, st: SweepStatics, ipos, jpos):
     xi_w = xi * data.weights[:, None, None].astype(st.cdtype)
     C = jnp.einsum("spa,spb->pab", xi_w, xj,
                    preferred_element_type=_buf_dtype(st),
-                   precision=st.precision)
+                   precision=st.xtab_precision)
     ip = data.presence[ipos]
     jp = data.presence[jpos]
     return mi_from_crosstabs(C, ip, jp, st.pseudocount)
@@ -609,7 +631,7 @@ def pairs_mi_dual_core(data: DeviceData, st: SweepStatics, ipos, jpos):
     xi_w = xi * data.weights[:, None, None].astype(st.cdtype)
     C = jnp.einsum("spa,spb->pab", xi_w, xj,
                    preferred_element_type=_buf_dtype(st),
-                   precision=st.precision)
+                   precision=st.xtab_precision)
     mi = mi_from_crosstabs(C, data.presence[ipos], data.presence[jpos],
                            st.pseudocount)
     wog = mi_from_crosstabs(C, data.presence_wog[ipos],
@@ -731,6 +753,7 @@ def build_device_data(alignment: Alignment, config: EngineConfig) -> tuple[Devic
     w[:n_samples] = (
         alignment.weights if alignment.weights is not None else np.ones(n_samples)
     )
+    unit_weights = bool(np.all(w[:n_samples] == 1.0))
 
     data = DeviceData(
         onehot=onehot,
@@ -759,6 +782,7 @@ def build_device_data(alignment: Alignment, config: EngineConfig) -> tuple[Devic
         pallas_bj=(lambda b: b if tile % b == 0 else _BJ)(
             int(os.environ.get("SPYDRPICK_PALLAS_BJ", _BJ))
         ),
+        unit_weights=unit_weights,
         onehot_codes=oh_mode == "codes",
         storage_dtype=str(jnp.dtype(sdtype)),
     )

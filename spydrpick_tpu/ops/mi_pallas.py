@@ -139,12 +139,21 @@ def _kernel(xi_hi_ref, xi_lo_ref, xj_ref, ipf_ref, jpf_ref, ipwf_ref, jpwf_ref,
         wog_ref[:] = _mi_from_block(C, ipwf, jpwf, pc, bj, interpret)
 
 
-def _kernel_single(xi_hi_ref, xi_lo_ref, xj_ref, ipf_ref, jpf_ref,
-                   mi_ref, C_scratch, *, pc, n_k, bj=BJ, interpret=False):
+def _kernel_single(*refs, pc, n_k, bj=BJ, interpret=False, n_passes=2):
     """Single-variant kernel: mi only (the lazy-wog hot path — the
     gaps-excluded variant is recomputed post-hoc for the few stored
     edges that need it, the sparsity the reference exploits via its
-    crosstable cache, mi.hpp:466-490)."""
+    crosstable cache, mi.hpp:466-490).
+
+    ``n_passes=1``: unit-weight mode — the weighted one-hot IS the 0/1
+    one-hot, exact in bf16, so the lo-residual operand and pass are
+    dropped entirely (half the MXU work and input DMA;
+    --no-sample-reweighting runs)."""
+    if n_passes == 2:
+        (xi_hi_ref, xi_lo_ref, xj_ref, ipf_ref, jpf_ref,
+         mi_ref, C_scratch) = refs
+    else:
+        xi_hi_ref, xj_ref, ipf_ref, jpf_ref, mi_ref, C_scratch = refs
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -156,7 +165,8 @@ def _kernel_single(xi_hi_ref, xi_lo_ref, xj_ref, ipf_ref, jpf_ref,
         preferred_element_type=jnp.float32,
     )
     C_scratch[:] += contract(xi_hi_ref[:], xj_ref[:])
-    C_scratch[:] += contract(xi_lo_ref[:], xj_ref[:])
+    if n_passes == 2:
+        C_scratch[:] += contract(xi_lo_ref[:], xj_ref[:])
 
     @pl.when(k == n_k - 1)
     def _():
@@ -176,6 +186,7 @@ def mi_tile_pallas_single(
     bs: int = BS,
     bi: int = BI,
     bj: int = BJ,
+    n_passes: int = 2,
 ) -> jnp.ndarray:
     """mi (TI, TJ) f32 only — same matmul + epilogue as the dual kernel
     minus the wog pass (bit-identical mi values)."""
@@ -189,17 +200,21 @@ def mi_tile_pallas_single(
     grid = (TI // bi, TJ // bj, n_k)
 
     kernel = functools.partial(_kernel_single, pc=pseudocount, n_k=n_k,
-                               bj=bj, interpret=interpret)
+                               bj=bj, interpret=interpret,
+                               n_passes=n_passes)
+    xi_spec = pl.BlockSpec((bs, bi * N_STATES), lambda i, j, k: (k, i))
+    in_specs = [xi_spec] * (2 if n_passes == 2 else 1) + [
+        pl.BlockSpec((bs, bj * N_STATES), lambda i, j, k: (k, j)),
+        pl.BlockSpec((1, bi * N_STATES), lambda i, j, k: (0, i)),
+        pl.BlockSpec((1, bj * N_STATES), lambda i, j, k: (0, j)),
+    ]
+    args = ((xi_hi, xi_lo) if n_passes == 2 else (xi_hi,)) + (
+        xj, ipf.reshape(1, -1), jpf.reshape(1, -1),
+    )
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((bs, bi * N_STATES), lambda i, j, k: (k, i)),
-            pl.BlockSpec((bs, bi * N_STATES), lambda i, j, k: (k, i)),
-            pl.BlockSpec((bs, bj * N_STATES), lambda i, j, k: (k, j)),
-            pl.BlockSpec((1, bi * N_STATES), lambda i, j, k: (0, i)),
-            pl.BlockSpec((1, bj * N_STATES), lambda i, j, k: (0, j)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bi, bj), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((TI, TJ), jnp.float32),
         scratch_shapes=[
@@ -209,7 +224,7 @@ def mi_tile_pallas_single(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(xi_hi, xi_lo, xj, ipf.reshape(1, -1), jpf.reshape(1, -1))
+    )(*args)
 
 
 def split_bf16(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:

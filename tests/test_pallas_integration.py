@@ -31,3 +31,26 @@ def test_pallas_sweep_matches_xla_path(compact, n_loci):
     for k in both:
         assert abs(xm[k] - pm[k]) < 3e-4, k
     np.testing.assert_allclose(xla.colmax, pls.colmax, atol=3e-4)
+
+
+def test_pallas_unit_weights_single_pass():
+    """Unit weights engage the single-pass kernel (no lo operand); with
+    exact-bf16 0/1 operands the MI must EQUAL the XLA path's values."""
+    al = random_alignment(n_samples=40, n_loci=2 * BI, seed=61, gap_frac=0.1)
+    al.weights = None
+    pls_engine = MIEngine(al, EngineConfig(tile=BI, use_pallas="on",
+                                           wog_fetch="outliers"))
+    assert pls_engine.statics.unit_weights
+    xla = MIEngine(al, EngineConfig(tile=BI, use_pallas="off")).sweep(0.05).sort_desc()
+    pls = pls_engine.sweep(0.05).sort_desc()
+    # both paths see exact 0/1 bf16 operands; only f32 accumulation
+    # structure differs (per-bs-block vs single dot) — boundary edges
+    # may flip, interior values agree to ordering noise
+    assert abs(xla.n_edges - pls.n_edges) <= 2
+    xm = {(i, j): m for i, j, m in zip(xla.ipos, xla.jpos, xla.mi)}
+    pm = {(i, j): m for i, j, m in zip(pls.ipos, pls.jpos, pls.mi)}
+    for k in set(xm) & set(pm):
+        assert abs(xm[k] - pm[k]) < 5e-5, k
+    for k in set(xm) ^ set(pm):
+        m = xm.get(k, pm.get(k))
+        assert abs(m - 0.05) < 1e-4, (k, m)
