@@ -305,3 +305,25 @@ def test_pipeline_depth_two_matches():
     np.testing.assert_array_equal(d1.jpos, d2.jpos)
     np.testing.assert_array_equal(d1.mi, d2.mi)
     np.testing.assert_array_equal(d1.mi_wog, d2.mi_wog)
+
+
+def test_epoch_recycling_with_partial_overflow():
+    """Mixed case: SOME rows overflow their per-row K window while the
+    store also recycles in epochs — truncated rows must be filtered
+    from every epoch's collected data and re-extracted exactly once."""
+    al = random_alignment(n_samples=40, n_loci=256, seed=81, gap_frac=0.1)
+    ref = MIEngine(al, EngineConfig(tile=32)).sweep(-1.0).sort_desc()
+    # K=4096: early block-rows (up to 32*255 ~ 8k pairs) overflow, late
+    # rows fit; store = one 2-row dispatch group -> epoch every group
+    tiny = MIEngine(al, EngineConfig(tile=32, edge_capacity=4096,
+                                     store_capacity=1 << 13,
+                                     rows_per_dispatch=2))
+    timings: dict = {}
+    got = tiny.sweep(-1.0, timings=timings).sort_desc()
+    assert timings["epoch_drains"] >= 1
+    assert 0 < timings["overflow_rows"] < 256 // 32
+    assert got.n_edges == 256 * 255 // 2
+    np.testing.assert_array_equal(ref.ipos, got.ipos)
+    np.testing.assert_array_equal(ref.jpos, got.jpos)
+    np.testing.assert_array_equal(ref.mi, got.mi)
+    np.testing.assert_array_equal(ref.mi_wog, got.mi_wog)
