@@ -194,8 +194,14 @@ def compact_edges_route(mi_buf, wog_buf, store_mask, i0, K: int, LN: int = 128,
 
     wd = mi_buf.dtype  # f32, or f64 in x64 oracle-test mode
     if pallas_route is None:
+        # opt-in until hardware-validated (parity is interpret-tested;
+        # a Mosaic rejection at compile time would kill a whole run):
+        # SPYDRPICK_PALLAS_ROUTE=1 enables it on TPU
+        import os
+
         pallas_route = (
-            jax.default_backend() == "tpu" and wd == jnp.float32
+            os.environ.get("SPYDRPICK_PALLAS_ROUTE", "0") == "1"
+            and jax.default_backend() == "tpu" and wd == jnp.float32
             and T % 8 == 0 and Lp % 128 == 0
         )
     if pallas_route:
