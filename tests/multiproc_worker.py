@@ -55,10 +55,17 @@ def main() -> int:
     edges = sharded_sweep(engine, 0.01, mesh)
     edges = edges.sort_desc()
 
+    # 2-D (rows x samples) mesh across processes: the alignment shards
+    # over the samples axis spanning both hosts; per-tile crosstables
+    # psum over DCN-in-miniature (the 20k x 1M configuration's shape)
+    mesh2 = make_mesh(n_procs, n_samples=2)
+    edges2 = sharded_sweep(engine, 0.01, mesh2).sort_desc()
+
     np.savez(
         os.path.join(outdir, f"proc{proc_id}.npz"),
         ipos=edges.ipos, jpos=edges.jpos, mi=edges.mi,
         mi_wog=edges.mi_wog, colmax=edges.colmax,
+        ipos2=edges2.ipos, jpos2=edges2.jpos, mi2=edges2.mi,
     )
     jax.distributed.shutdown()
     return 0

@@ -82,3 +82,11 @@ def test_two_process_sharded_sweep(tmp_path):
     np.testing.assert_array_equal(a["jpos"], ref.jpos)
     np.testing.assert_allclose(a["mi"], ref.mi, rtol=1e-6, atol=1e-9)
     np.testing.assert_allclose(a["colmax"], ref.colmax, rtol=1e-6, atol=1e-9)
+
+    # the cross-process 2-D (rows x samples) sweep: identical on both
+    # processes, equal to the reference at psum accumulation-order level
+    np.testing.assert_array_equal(a["ipos2"], b["ipos2"])
+    np.testing.assert_array_equal(a["mi2"], b["mi2"])
+    np.testing.assert_array_equal(a["ipos2"], ref.ipos)
+    np.testing.assert_array_equal(a["jpos2"], ref.jpos)
+    np.testing.assert_allclose(a["mi2"], ref.mi, rtol=1e-4, atol=1e-6)
