@@ -5,6 +5,10 @@ Prints ONE JSON line:
 
 Config: the BASELINE.md "medium" shape (~3k samples x ~30k filtered
 columns), overridable via BENCH_SAMPLES / BENCH_LOCI / BENCH_TILE.
+Further knobs: BENCH_ROWS (rows/dispatch), BENCH_DEPTH (counts-sync
+pipeline depth), BENCH_ONEHOT (dense|codes), BENCH_WOG_FETCH,
+BENCH_PALLAS_COMPACT; engine env: SPYDRPICK_PALLAS_ROUTE=1 (VMEM
+routing kernel, opt-in until hardware-validated), SPYDRPICK_PALLAS_BJ.
 The metric is column-pairs/s through the REAL production sweep
 (crosstable matmuls + dual-variant entropy + colmax + on-device edge
 store) at a threshold retaining ~100*L edges — the reference's
