@@ -881,9 +881,15 @@ class MIEngine:
 
     # ------------------------------------------------------------------ #
     def pair_mi(self, ipos: np.ndarray, jpos: np.ndarray, chunk: int = 8192) -> np.ndarray:
-        """MI for explicit position pairs, chunked over the pair axis."""
+        """MI for explicit position pairs, chunked over the pair axis.
+
+        All chunk dispatches are enqueued before any result is read, so
+        the tournament pays one pipeline of device work instead of a
+        blocking host round trip per chunk (~60 chunks/iteration at the
+        500k-pair production sample size)."""
         P = len(ipos)
         out = np.empty(P, dtype=np.float64)
+        results = []
         for c0 in range(0, P, chunk):
             ii = np.asarray(ipos[c0 : c0 + chunk], dtype=np.int32)
             jj = np.asarray(jpos[c0 : c0 + chunk], dtype=np.int32)
@@ -891,8 +897,11 @@ class MIEngine:
             if n < chunk:  # pad to a single static shape
                 ii = np.pad(ii, (0, chunk - n))
                 jj = np.pad(jj, (0, chunk - n))
-            res = np.asarray(self._pairs_mi(self.data, ipos=jnp.asarray(ii), jpos=jnp.asarray(jj)))
-            out[c0 : c0 + n] = res[:n]
+            res = self._pairs_mi(self.data, ipos=jnp.asarray(ii), jpos=jnp.asarray(jj))
+            res.copy_to_host_async()
+            results.append((c0, n, res))
+        for c0, n, res in results:
+            out[c0 : c0 + n] = np.asarray(res)[:n]
         return out
 
     def sweep(
@@ -1299,9 +1308,11 @@ class MIEngine:
     def pair_wog(self, ipos: np.ndarray, jpos: np.ndarray,
                  chunk: int = 8192) -> np.ndarray:
         """Effective wo-gaps MI for explicit pairs (lazy-wog resolver),
-        chunked to a single static shape."""
+        chunked to a single static shape; dispatches pipeline like
+        :meth:`pair_mi`."""
         P = len(ipos)
         out = np.empty(P, dtype=np.float64)
+        results = []
         for c0 in range(0, P, chunk):
             ii = np.asarray(ipos[c0 : c0 + chunk], dtype=np.int32)
             jj = np.asarray(jpos[c0 : c0 + chunk], dtype=np.int32)
@@ -1312,5 +1323,8 @@ class MIEngine:
             _, wog = self._pairs_dual(
                 self.data, ipos=jnp.asarray(ii), jpos=jnp.asarray(jj)
             )
+            wog.copy_to_host_async()
+            results.append((c0, n, wog))
+        for c0, n, wog in results:
             out[c0 : c0 + n] = np.asarray(wog)[:n]
         return out
