@@ -133,7 +133,8 @@ def main():
         id_string="bench",
         translation=np.arange(L, dtype=np.int64),
         n_original_positions=L,
-        weights=rng.random(S) * 0.9 + 0.1,
+        weights=(None if os.environ.get("BENCH_UNIT_WEIGHTS") == "1"
+                 else rng.random(S) * 0.9 + 0.1),
     )
     print("# data built", flush=True)
     engine = MIEngine(

@@ -19,4 +19,7 @@ echo "=== D: full-width route timing ==="
 TPU_RUN_TIMEOUT=1800 TPU_RUN_STALL=900 TPU_RUN_INIT_STALL=150 \
   bash scripts/tpu_run.sh scripts/perf_route.py 512 30720 0.002 || true
 
+echo "=== E: unit-weights single-pass kernel on hardware ==="
+BENCH_UNIT_WEIGHTS=1 BENCH_LOCI=8192 BENCH_STALL=600 timeout 1800 python bench.py || true
+
 echo "=== chain done ==="
