@@ -196,12 +196,15 @@ def compact_edges_route(mi_buf, wog_buf, store_mask, i0, K: int, LN: int = 128,
     if pallas_route is None:
         # opt-in until hardware-validated (parity is interpret-tested;
         # a Mosaic rejection at compile time would kill a whole run):
-        # SPYDRPICK_PALLAS_ROUTE=1 enables it on TPU
+        # SPYDRPICK_PALLAS_ROUTE=1 enables it on TPU, =force also in
+        # interpret mode (integration tests)
         import os
 
+        flag = os.environ.get("SPYDRPICK_PALLAS_ROUTE", "0")
         pallas_route = (
-            os.environ.get("SPYDRPICK_PALLAS_ROUTE", "0") == "1"
-            and jax.default_backend() == "tpu" and wd == jnp.float32
+            (flag == "force"
+             or (flag == "1" and jax.default_backend() == "tpu"))
+            and wd == jnp.float32
             and T % 8 == 0 and Lp % 128 == 0
         )
     if pallas_route:

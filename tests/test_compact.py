@@ -103,3 +103,19 @@ def test_route_pallas_matches_xla(density, with_wog):
                                  "lines")):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
                                       err_msg=name)
+
+
+def test_route_pallas_integrated_sweep(monkeypatch):
+    """The full engine sweep with the Pallas routing forced (interpret
+    mode) must equal the default XLA-routed sweep exactly."""
+    from spydrpick_tpu.engine.solver import EngineConfig, MIEngine
+    from tests.conftest import random_alignment
+
+    al = random_alignment(n_samples=40, n_loci=256, seed=71, gap_frac=0.1)
+    ref = MIEngine(al, EngineConfig(tile=32)).sweep(0.02).sort_desc()
+    monkeypatch.setenv("SPYDRPICK_PALLAS_ROUTE", "force")
+    got = MIEngine(al, EngineConfig(tile=32)).sweep(0.02).sort_desc()
+    np.testing.assert_array_equal(ref.ipos, got.ipos)
+    np.testing.assert_array_equal(ref.jpos, got.jpos)
+    np.testing.assert_array_equal(ref.mi, got.mi)
+    np.testing.assert_array_equal(ref.mi_wog, got.mi_wog)
