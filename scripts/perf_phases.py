@@ -106,10 +106,24 @@ def main():
 
     def t3(f, *a, n=3):
         float(f(*a))
-        t = time.perf_counter()
+        best = float("inf")
         for _ in range(n):
+            t = time.perf_counter()
             float(f(*a))
-        return (time.perf_counter() - t) / n
+            best = min(best, time.perf_counter() - t)
+        return best
+
+    # fixed per-dispatch overhead (tunnel round trip): subtract from
+    # every phase so numbers reflect device time, not transport
+    @jax.jit
+    def NOP(data, i0):
+        return data.weights.sum() + i0
+
+    o = t3(NOP, engine.data, i0, n=5)
+    print(f"# dispatch overhead {o:.4f}s (subtracted)", flush=True)
+
+    _t3 = t3
+    t3 = lambda f, *a, n=3: max(_t3(f, *a, n=n) - o, 0.0)
 
     a = t3(A, engine.data, i0)
     b = t3(B, engine.data, i0)
