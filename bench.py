@@ -45,7 +45,35 @@ def supervise() -> int:
     SIGTERM); retry with backoff and forward the JSON line.
     """
     stall_s = int(os.environ.get("BENCH_STALL", 420))
+
+    def relay_up() -> bool:
+        """The axon tunnel relay listens on 8082; connection refused
+        means the relay died — clients would hang forever in
+        jax.devices(), so wait for it instead of burning attempts."""
+        import socket
+
+        s = socket.socket()
+        s.settimeout(3)
+        try:
+            s.connect(("127.0.0.1", 8082))
+            return True
+        except OSError:
+            return False
+        finally:
+            s.close()
+
     for attempt in range(1, 7):
+        if not relay_up():
+            print(f"bench: tunnel relay down (attempt {attempt}); waiting",
+                  file=sys.stderr)
+            for _ in range(30):  # up to ~30 min for the driver's run
+                time.sleep(60)
+                if relay_up():
+                    break
+            else:
+                print("bench: tunnel relay still down; giving up",
+                      file=sys.stderr)
+                return 1
         env = dict(os.environ, BENCH_INNER="1")
         proc = subprocess.Popen(
             [sys.executable, "-u", os.path.abspath(__file__)],

@@ -28,7 +28,24 @@ TOTAL="${TPU_RUN_TIMEOUT:-540}"
 
 cpu_ticks() { awk '{print $14+$15}' "/proc/$1/stat" 2>/dev/null || echo ""; }
 
+port_open() {  # the axon relay listens on 8082; refused = relay dead
+  timeout 3 bash -c 'exec 3<>/dev/tcp/127.0.0.1/8082' 2>/dev/null
+}
+
 for attempt in 1 2 3 4 5 6; do
+  if ! port_open; then
+    # dead-relay mode: clients would hang forever in jax.devices();
+    # wait for the relay instead of burning attempts
+    echo "tpu_run: tunnel relay port closed; waiting (attempt $attempt)" >&2
+    for _ in $(seq 1 10); do
+      sleep 60
+      port_open && break
+    done
+    if ! port_open; then
+      echo "tpu_run: tunnel relay still down after 10 min; giving up" >&2
+      exit 2
+    fi
+  fi
   : > "$LOG"
   python -u "$@" >"$LOG" 2>&1 &
   pid=$!
