@@ -80,3 +80,14 @@ def test_plot_tool(tmp_path):
                     str(res.outlier_threshold)])
     assert rc == 0
     assert (tmp_path / "plot.png").exists()
+
+
+def test_cli_error_paths(capsys):
+    """Missing alignment file and no-args runs exit 1 with a clear
+    message (reference exits via po error paths, SpydrPick.cpp:143-154)."""
+    from spydrpick_tpu.cli import main
+
+    assert main([]) == 1
+    assert main(["/nonexistent-alignment.fasta"]) == 1
+    err = capsys.readouterr().err
+    assert "ERROR" in err
