@@ -177,18 +177,25 @@ def make_drain(mesh: Mesh, st: SweepStatics, m: int):
     """Collective drain: all-gather the first ``m`` store LINES of every
     device's (lines, LN) stores (static shape) + pmax-merged colmax,
     all outputs replicated — addressable on every process of a
-    multi-host run (the analogue of ``Graph::join``, mi.hpp:336-361)."""
+    multi-host run (the analogue of ``Graph::join``, mi.hpp:336-361).
+
+    In lazy-wog mode the wog store is never computed, so its gather is
+    skipped (25% less collective payload); the driver resolves wog for
+    outlier candidates post-hoc."""
     sh = P("rows")
+    n_out = 4 if st.wog_lazy else 5
 
     @jax.jit
     @_smap(
         mesh=mesh,
         in_specs=(sh, sh, sh, sh, sh),
-        out_specs=(P(), P(), P(), P(), P()),
+        out_specs=tuple([P()] * n_out),
     )
     def drain(mi_s, wog_s, ip_s, jp_s, colmax):
         cm = jax.lax.pmax(colmax[0], "rows")
         g = lambda x: jax.lax.all_gather(x[0, :m], "rows")  # (n_dev, m, LN)
+        if st.wog_lazy:
+            return g(mi_s), g(ip_s), g(jp_s), cm
         return g(mi_s), g(wog_s), g(ip_s), g(jp_s), cm
 
     return drain
@@ -238,11 +245,14 @@ def sharded_sweep(
 
     mesh = mesh or make_mesh()
     st = engine.statics
-    if st.wog_lazy:
+    if st.wog_lazy and checkpoint_path:
         raise ValueError(
-            "sharded_sweep drains the full wog store; build the engine "
-            "with wog_fetch='full'"
+            "checkpointing needs the full wog store (snapshots hold "
+            "every edge's wog); build the engine with wog_fetch='full'"
         )
+    lazy = st.wog_lazy  # mi-only tiles; wog resolved post-hoc for
+    # outlier candidates via the pairs kernel (replicated, so identical
+    # on every process) — the single-chip production drain's design
     n_dev, n_samp = _mesh_shape(mesh)
 
     data = engine.data
@@ -342,15 +352,19 @@ def sharded_sweep(
 
     def drain_now(mi_s, wog_s, ip_s, jp_s, colmax_d, offs):
         """Gather valid store line-prefixes from every device
-        (replicated outputs; ``offs`` is per-device line counts)."""
+        (replicated outputs; ``offs`` is per-device line counts).
+        In lazy mode the returned wog is a COPY of mi (the post-hoc
+        candidate resolver overwrites outlier rows at the end)."""
         m = max(int(offs.max()), 1)
         m = min(-(-m // _DRAIN_GRAIN) * _DRAIN_GRAIN, cap_lines)
         if m not in drains:
             drains[m] = make_drain(mesh, st, m)
-        g_mi, g_wog, g_ip, g_jp, cm = drains[m](mi_s, wog_s, ip_s, jp_s, colmax_d)
-        g_mi, g_wog, g_ip, g_jp, cm = jax.tree.map(
-            np.asarray, (g_mi, g_wog, g_ip, g_jp, cm)
-        )
+        res = drains[m](mi_s, wog_s, ip_s, jp_s, colmax_d)
+        if lazy:
+            g_mi, g_ip, g_jp, cm = jax.tree.map(np.asarray, res)
+            g_wog = None
+        else:
+            g_mi, g_wog, g_ip, g_jp, cm = jax.tree.map(np.asarray, res)
         outs = ([], [], [], [])
         for d in range(n_dev):
             n = int(offs[d])
@@ -360,7 +374,10 @@ def sharded_sweep(
             outs[0].append(ii[keep].astype(np.int64))
             outs[1].append(jj[keep].astype(np.int64))
             outs[2].append(g_mi[d, :n].reshape(-1)[keep].astype(np.float64))
-            outs[3].append(g_wog[d, :n].reshape(-1)[keep].astype(np.float64))
+            outs[3].append(
+                (g_mi if g_wog is None else g_wog)[d, :n]
+                .reshape(-1)[keep].astype(np.float64)
+            )
         cat = lambda xs: np.concatenate(xs) if xs else np.empty(0)
         return tuple(cat(x) for x in outs) + (cm[:L].astype(np.float64),)
 
@@ -457,10 +474,24 @@ def sharded_sweep(
     )
     t_fetch = time.perf_counter() - t_fetch0
     colmax_host = np.maximum(colmax_host, s_c)
-    all_i.extend(ep_i)
-    all_j.extend(ep_j)
-    all_mi.extend(ep_m)
-    all_wog.extend(ep_w)
+
+    # assemble the drained (epoch + final) pieces; in lazy mode their
+    # wog is an mi placeholder — resolve outlier candidates via the
+    # pairs kernel now that the final colmax (hence the Tukey fence)
+    # is known (replicated computation: identical on every process)
+    cat0 = lambda xs, dt: np.concatenate(xs) if xs else np.empty(0, dt)
+    s_i = cat0(ep_i + [s_i], np.int64)
+    s_j = cat0(ep_j + [s_j], np.int64)
+    s_m = cat0(ep_m + [s_m], np.float64)
+    s_w = cat0(ep_w + [s_w], np.float64)
+    if lazy and s_m.size:
+        from spydrpick_tpu.engine.outliers import outlier_thresholds
+
+        thr_out, _ = outlier_thresholds(colmax_host)
+        cand = s_m >= thr_out
+        if cand.any():
+            s_w = s_w.copy()
+            s_w[cand] = engine.pair_wog(s_i[cand], s_j[cand])
 
     t_overflow0 = time.perf_counter()
     if overflow_rows:

@@ -219,7 +219,9 @@ def run_pipeline(opts: PipelineOptions, write_outputs: bool = True) -> PipelineR
         # hot sweep and resolves those few edges post-hoc.  Sharded and
         # checkpointed runs need the full wog store (their drains /
         # snapshots carry every edge's wog).
-        wog_fetch="full" if (opts.sharded or opts.checkpoint) else "outliers",
+        # checkpoints persist every edge's wog; sweeps (single-chip and
+        # sharded) otherwise resolve wog lazily for outlier candidates
+        wog_fetch="full" if opts.checkpoint else "outliers",
         verbose=opts.verbose,
     )
     engine = MIEngine(alignment, config)

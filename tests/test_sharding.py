@@ -118,3 +118,26 @@ def test_sample_sharded_2d_mesh_matches():
     np.testing.assert_allclose(sm, mm, rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(sw, mw, rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(ref.colmax, sharded.colmax, rtol=1e-4)
+
+
+def test_sharded_lazy_wog_matches_full():
+    """Sharded sweep with the production lazy-wog drain: exact wog for
+    every edge at/above the outlier threshold, mi elsewhere (the only
+    wog values the output surface reads, SpydrPick.hpp:100-124)."""
+    from spydrpick_tpu.engine.outliers import outlier_thresholds
+
+    al = random_alignment(n_samples=50, n_loci=96, seed=49, gap_frac=0.2)
+    al.codes[:, 90] = al.codes[:, 9]  # plant an outlier coupling
+    full = MIEngine(al, EngineConfig(tile=16, wog_fetch="full"))
+    lazy = MIEngine(al, EngineConfig(tile=16, wog_fetch="outliers"))
+    e_full = sharded_sweep(full, 0.01, make_mesh(4))
+    e_lazy = sharded_sweep(lazy, 0.01, make_mesh(4))
+    fi, fj, fm, fw = _key(e_full)
+    li, lj, lm, lw = _key(e_lazy)
+    np.testing.assert_array_equal(fi, li)
+    np.testing.assert_array_equal(fj, lj)
+    np.testing.assert_array_equal(fm, lm)
+    thr_out, _ = outlier_thresholds(e_full.colmax)
+    cand = fm >= thr_out
+    assert cand.any()
+    np.testing.assert_allclose(fw[cand], lw[cand], rtol=1e-5, atol=1e-7)
