@@ -141,3 +141,25 @@ def test_sharded_lazy_wog_matches_full():
     cand = fm >= thr_out
     assert cand.any()
     np.testing.assert_allclose(fw[cand], lw[cand], rtol=1e-5, atol=1e-7)
+
+
+def test_sharded_all_features_compose():
+    """2-D (rows x samples) mesh + codes-resident alignment + lazy wog
+    together — the full production configuration for the largest
+    BASELINE shapes — must match the plain single-device sweep."""
+    al = random_alignment(n_samples=44, n_loci=96, seed=51, gap_frac=0.15)
+    al.codes[:, 90] = al.codes[:, 9]
+    ref = MIEngine(al, EngineConfig(tile=16, wog_fetch="full")).sweep(0.02)
+    eng = MIEngine(al, EngineConfig(tile=16, onehot_storage="codes",
+                                    wog_fetch="outliers"))
+    sharded = sharded_sweep(eng, 0.02, make_mesh(2, n_samples=4))
+    fi, fj, fm, fw = _key(ref)
+    li, lj, lm, lw = _key(sharded)
+    np.testing.assert_array_equal(fi, li)
+    np.testing.assert_array_equal(fj, lj)
+    np.testing.assert_allclose(fm, lm, rtol=1e-4, atol=1e-6)
+    from spydrpick_tpu.engine.outliers import outlier_thresholds
+    thr_out, _ = outlier_thresholds(ref.colmax)
+    cand = fm >= thr_out
+    assert cand.any()
+    np.testing.assert_allclose(fw[cand], lw[cand], rtol=1e-4, atol=1e-6)
