@@ -215,12 +215,10 @@ def run_pipeline(opts: PipelineOptions, write_outputs: bool = True) -> PipelineR
         ld_threshold=opts.ld_threshold,
         linear_genome=opts.linear_genome,
         # the output surface reads wog only for outlier rows
-        # (SpydrPick.hpp:100-124): lazy-wog mode skips the variant in the
-        # hot sweep and resolves those few edges post-hoc.  Sharded and
-        # checkpointed runs need the full wog store (their drains /
-        # snapshots carry every edge's wog).
-        # checkpoints persist every edge's wog; sweeps (single-chip and
-        # sharded) otherwise resolve wog lazily for outlier candidates
+        # (SpydrPick.hpp:100-124): lazy-wog mode skips the variant in
+        # the hot sweep (single-chip and sharded) and resolves those few
+        # edges post-hoc; checkpoints persist every edge's wog and need
+        # the full store
         wog_fetch="full" if opts.checkpoint else "outliers",
         verbose=opts.verbose,
     )
