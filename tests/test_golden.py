@@ -55,3 +55,27 @@ def test_golden_couplings_tile_invariant(tmp_path, tile):
     with open(tmp_path / name, "rb") as f:
         got = f.read()
     assert got == want
+
+
+def test_golden2_outputs_byte_identical(tmp_path):
+    """Fixture 2: sparse --mappings-list over a circular --genome-size,
+    user-supplied --sample-weights, explicit --mi-threshold, distance
+    matrix dump — the flag paths fixture 1 does not reach."""
+    from tests.golden.make_golden import GOLDEN2_ARGS
+
+    expected2 = os.path.join(GOLDEN, "expected2")
+    rc = cli_main([
+        os.path.join(GOLDEN, "golden2.fasta"), *GOLDEN2_ARGS,
+        "--mappings-list", os.path.join(GOLDEN, "golden2.mappings"),
+        "--sample-weights", os.path.join(GOLDEN, "golden2.weights"),
+        "--output-dir", str(tmp_path),
+    ])
+    assert rc in (0, None)
+    expected_files = sorted(os.listdir(expected2))
+    assert sorted(os.listdir(tmp_path)) == expected_files
+    for name in expected_files:
+        with open(os.path.join(expected2, name), "rb") as f:
+            want = f.read()
+        with open(tmp_path / name, "rb") as f:
+            got = f.read()
+        assert got == want, f"{name} diverged from golden fixture 2"
