@@ -79,3 +79,26 @@ def test_golden2_outputs_byte_identical(tmp_path):
         with open(tmp_path / name, "rb") as f:
             got = f.read()
         assert got == want, f"{name} diverged from golden fixture 2"
+
+
+def test_golden2_codes_storage_byte_identical(tmp_path):
+    """Codes-resident storage must reproduce fixture 2 byte-for-byte
+    (explicit --mi-threshold: no tournament, whose accumulation order
+    differs at ULP level between storage modes)."""
+    from tests.golden.make_golden import GOLDEN2_ARGS
+
+    expected2 = os.path.join(GOLDEN, "expected2")
+    rc = cli_main([
+        os.path.join(GOLDEN, "golden2.fasta"), *GOLDEN2_ARGS,
+        "--mappings-list", os.path.join(GOLDEN, "golden2.mappings"),
+        "--sample-weights", os.path.join(GOLDEN, "golden2.weights"),
+        "--onehot-storage", "codes",
+        "--output-dir", str(tmp_path),
+    ])
+    assert rc in (0, None)
+    for name in sorted(os.listdir(expected2)):
+        with open(os.path.join(expected2, name), "rb") as f:
+            want = f.read()
+        with open(tmp_path / name, "rb") as f:
+            got = f.read()
+        assert got == want, f"{name} diverged under codes storage"
