@@ -136,3 +136,45 @@ def test_checkpoint_written_during_sweep(tmp_path):
     import os
 
     assert not os.path.exists(path)
+
+
+def test_cli_checkpoint_resume_outputs_match(tmp_path):
+    """End-to-end CLI resume: a checkpoint written by a partial engine
+    run must be picked up by the FULL CLI (same flags -> same params
+    key) and produce byte-identical couplings to an uncheckpointed CLI
+    run."""
+    from spydrpick_tpu.io.fasta import write_fasta
+    from spydrpick_tpu.cli import main as cli_main
+
+    al = random_alignment(n_samples=40, n_loci=64, seed=52, gap_frac=0.1)
+    fasta = tmp_path / "cli_ck.fasta"
+    write_fasta(str(fasta), al)
+
+    base_args = [str(fasta), "--mi-threshold", "0.05", "--seed", "3",
+                 "--no-filter-alignment", "--no-sample-reweighting",
+                 "--tile", "8"]
+    clean_dir = tmp_path / "clean"
+    rc = cli_main(base_args + ["--output-dir", str(clean_dir)])
+    assert rc in (0, None)
+
+    # partial checkpoint with the engine the CLI will rebuild: the
+    # params key covers statics + threshold, so configs must match
+    from spydrpick_tpu.io.fasta import read_fasta
+
+    al2 = read_fasta(str(fasta))
+    al2.weights = None
+    eng = MIEngine(al2, EngineConfig(tile=8, wog_fetch="full"))
+    path = str(tmp_path / "cli.ckpt")
+    key = ck.params_key(eng.statics, 0.05)
+    ck.save(path, ck.SweepCheckpoint(key, set(), np.full(al2.n_loci, -np.inf),
+                                     [], [], [], []))
+
+    resume_dir = tmp_path / "resumed"
+    rc = cli_main(base_args + ["--checkpoint", path,
+                               "--output-dir", str(resume_dir)])
+    assert rc in (0, None)
+    clean_files = sorted(os.listdir(clean_dir))
+    assert sorted(os.listdir(resume_dir)) == clean_files
+    for name in clean_files:
+        with open(clean_dir / name, "rb") as f1, open(resume_dir / name, "rb") as f2:
+            assert f1.read() == f2.read(), name
