@@ -55,3 +55,19 @@ def test_loci_and_value_lists(tmp_path):
     v = tmp_path / "vals.txt"
     v.write_text("0.5 1.25\n2.0\n")
     assert parse_value_list(v).tolist() == [0.5, 1.25, 2.0]
+
+
+def test_unique_path_increments(tmp_path):
+    """Auto-uniquified output names (reference get_unique_ofstream,
+    SpydrPick.cpp:429,459; gwes_plot.r:71-76 expects .N suffixes)."""
+    from spydrpick_tpu.utils.uniquefile import unique_path
+
+    base = tmp_path / "out.txt"
+    p1 = unique_path(str(base))
+    assert str(p1) == str(base)
+    base.write_text("x")
+    p2 = unique_path(str(base))
+    assert str(p2) == str(base) + ".1"
+    (tmp_path / "out.txt.1").write_text("y")
+    p3 = unique_path(str(base))
+    assert str(p3) == str(base) + ".2"
