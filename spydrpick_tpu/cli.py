@@ -101,6 +101,12 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--pipeline-depth", type=int, default=1,
                    help="counts-sync pipeline depth (2 = dispatch the next "
                         "group before reading the previous group's counts)")
+    g.add_argument("--row-window", type=int, default=0,
+                   help="j-window width for very wide alignments (the sweep "
+                        "streams (block-row, j-window) items with fixed "
+                        "device memory per item; 0 = auto: full-width rows "
+                        "below ~131k columns, ~65k windows above; 1 = force "
+                        "full-width)")
     g.add_argument("--use-pallas", choices=["auto", "on", "off"], default="auto",
                    help="fused Pallas MI kernel (auto: on TPU with aligned tiles)")
     g.add_argument("--use-pallas-compact", choices=["auto", "on", "off"], default="auto",
@@ -188,6 +194,7 @@ def main(argv=None) -> int:
         onehot_storage=args.onehot_storage,
         rows_per_dispatch=args.rows_per_dispatch,
         pipeline_depth=args.pipeline_depth,
+        row_window=args.row_window,
         use_pallas=args.use_pallas,
         use_pallas_compact=args.use_pallas_compact,
         matmul_precision=args.matmul_precision,

@@ -97,6 +97,15 @@ class EngineConfig:
     # the full Lp (separate compiled program per bucket).  0 = auto
     # (4 buckets when Lp >= 8192, off below); 1 = off.
     width_buckets: int = 0
+    # j-window width for very wide alignments: the sweep's unit of work
+    # becomes a (block-row, j-window) item with a (tile, row_window) MI
+    # buffer instead of (tile, Lp) — fixed device memory per item, so
+    # alignment width is bounded by HBM for the codes only (~S bytes
+    # per column), not by the row buffer (2 GB at Lp = 10^6) or the
+    # routing temporaries.  0 = auto (full-width below 2^17 padded
+    # columns — every hardware-benched config — else ~2^16 windows);
+    # 1 = force full-width; else the window width (rounded to tiles).
+    row_window: int = 0
     verbose: bool = False
 
 
@@ -159,6 +168,10 @@ class SweepStatics:
     # stage — the alignment never needs to be replicated (the S=20k+
     # configs whose one-hot exceeds a chip's HBM).  XLA path only.
     psum_axis: str | None = None
+    # j-window width (0 = full-width rows; see EngineConfig.row_window).
+    # When set, Lp is a multiple of it and the sweep iterates
+    # (block-row, j-window) work items with traced window starts.
+    row_window: int = 0
 
     @property
     def cdtype(self):
@@ -327,8 +340,18 @@ def _wog_effective(data: DeviceData, st: SweepStatics, mi, mi_wog, i0, j0):
     return jnp.where(gi[:, None] | gj[None, :], mi_wog, mi)
 
 
-def row_buffers(data: DeviceData, st: SweepStatics, i0, dual: bool | None = None):
-    """Fill (tile, Lp) MI row buffers for block-row i0 via fori_loop.
+def row_buffers(data: DeviceData, st: SweepStatics, i0,
+                dual: bool | None = None, jc0=None):
+    """Fill (tile, W) MI row buffers for block-row i0 via fori_loop.
+
+    ``jc0=None`` (full-width mode): W = Lp, the buffer covers the whole
+    row.  ``jc0`` set (windowed mode, st.row_window > 0): W =
+    st.row_window and the buffer covers global columns
+    [jc0, jc0 + W) — jc0 may be a TRACED multiple of the tile size, so
+    one compiled program serves every window of every row.  Windows are
+    how rows too wide to buffer whole (the ~10^6-column class: a
+    (512, Lp) f32 buffer is 2 GB at Lp = 10^6, and the roll-routing
+    temporaries multiply it) stream through fixed-size device memory.
 
     ``dual=False`` (the st.wog_lazy default) computes only the mi
     buffer and returns (mi_buf, None); the wog variant is recovered
@@ -338,6 +361,8 @@ def row_buffers(data: DeviceData, st: SweepStatics, i0, dual: bool | None = None
     if dual is None:
         dual = not st.wog_lazy
     T, S = st.tile, st.S
+    W = st.Lp if jc0 is None else st.row_window
+    base = 0 if jc0 is None else jc0
     bd = _buf_dtype(st)
 
     xi = onehot_slice(data, st, i0, st.cdtype)
@@ -354,8 +379,8 @@ def row_buffers(data: DeviceData, st: SweepStatics, i0, dual: bool | None = None
     else:
         xi_w = xi_w.astype(bd)
 
-    mi_buf = jnp.full((T, st.Lp), -jnp.inf, dtype=bd)
-    wog_buf = jnp.full((T, st.Lp), -jnp.inf, dtype=bd) if dual else None
+    mi_buf = jnp.full((T, W), -jnp.inf, dtype=bd)
+    wog_buf = jnp.full((T, W), -jnp.inf, dtype=bd) if dual else None
 
     def tile_pair(xj, j0):
         if st.use_pallas:
@@ -391,52 +416,61 @@ def row_buffers(data: DeviceData, st: SweepStatics, i0, dual: bool | None = None
         return tile_mi_pair(data, st, xi_w, xj, i0, j0)
 
     def body(c, bufs):
+        # c is the tile index LOCAL to the window; j0 is global
         mi_buf, wog_buf = bufs
-        j0 = c * T
+        j0 = base + c * T
         xj = onehot_slice(
             data, st,
             j0,
             jnp.bfloat16 if st.use_pallas else jnp.dtype(st.storage_dtype),
         )
         mi, wog = tile_pair(xj, j0)
-        mi_buf = jax.lax.dynamic_update_slice(mi_buf, mi.astype(bd), (0, j0))
+        mi_buf = jax.lax.dynamic_update_slice(mi_buf, mi.astype(bd), (0, c * T))
         if wog_buf is not None:
-            wog_buf = jax.lax.dynamic_update_slice(wog_buf, wog.astype(bd), (0, j0))
+            wog_buf = jax.lax.dynamic_update_slice(
+                wog_buf, wog.astype(bd), (0, c * T))
         return mi_buf, wog_buf
 
+    # first tile that can hold a stored (j > i0) pair: the one containing
+    # the diagonal (windows entirely left of it are never dispatched)
+    start = i0 // T if jc0 is None else jnp.maximum(i0 - jc0, 0) // T
     if dual:
-        return jax.lax.fori_loop(i0 // T, st.n_chunks, body,
-                                 (mi_buf, wog_buf))
+        return jax.lax.fori_loop(start, W // T, body, (mi_buf, wog_buf))
     mi_buf = jax.lax.fori_loop(
-        i0 // T, st.n_chunks, lambda c, m: body(c, (m, None))[0], mi_buf
+        start, W // T, lambda c, m: body(c, (m, None))[0], mi_buf
     )
     return mi_buf, None
 
 
-def row_masks(data: DeviceData, st: SweepStatics, i0):
-    """(store_base, colmax_mask) for block-row i0.
+def row_masks(data: DeviceData, st: SweepStatics, i0, jc0=None):
+    """(store_base, colmax_mask) for block-row i0 (full-width, or the
+    [jc0, jc0 + row_window) j-window when ``jc0`` is given).
 
     store_base: valid upper-triangle pairs (storage is *not* LD-gated,
     mi.hpp:430-434); colmax_mask additionally requires genome distance
     > ld_threshold (mi.hpp:423-427).
     """
     T = st.tile
+    W = st.Lp if jc0 is None else st.row_window
+    base = jnp.asarray(0 if jc0 is None else jc0, jnp.int32)
     i_global = i0 + jnp.arange(T, dtype=jnp.int32)
-    j_global = jnp.arange(st.Lp, dtype=jnp.int32)
+    j_global = base + jnp.arange(W, dtype=jnp.int32)
     valid = (i_global[:, None] < st.L) & (j_global[None, :] < st.L)
     upper = j_global[None, :] > i_global[:, None]
     ipos_orig = data.orig_pos[jnp.clip(i_global, 0, st.Lp - 1)]
-    d = jnp.abs(ipos_orig[:, None] - data.orig_pos[None, :])
+    jpos_orig = jax.lax.dynamic_slice(data.orig_pos, (base,), (W,))
+    d = jnp.abs(ipos_orig[:, None] - jpos_orig[None, :])
     if not st.linear_genome:
         d = jnp.minimum(d, st.genome_size - d)
     return valid & upper, valid & upper & (d > st.ld_threshold)
 
 
 def row_sweep_core(data: DeviceData, st: SweepStatics, i0, threshold,
-                   width: int | None = None):
-    """One block-row: colmax parts + compacted thresholded edges.
+                   width: int | None = None, jc0=None):
+    """One block-row (or one j-window of one): colmax parts + compacted
+    thresholded edges.
 
-    Returns (colmax_i (T,), colmax_j (Lp,), vals (K,), wogs (K,),
+    Returns (colmax_i (T,), colmax_j (Lp or W,), vals (K,), wogs (K,),
     ipos (K,) int32 global, jpos (K,) int32, count, lines):
     ``count`` is the true edge count (poisoned to 2^30 on window
     overflow), ``lines`` the number of valid LN-wide store lines the
@@ -449,17 +483,25 @@ def row_sweep_core(data: DeviceData, st: SweepStatics, i0, threshold,
     scales with the live triangle instead of the full row (the store
     layout is identical to a full-width route: same survivors, same
     j-ascending order, same per-i-row line packing).
+
+    ``jc0`` (traced, multiple of tile; exclusive with ``width``):
+    windowed mode — the MI buffers themselves cover only global columns
+    [jc0, jc0 + st.row_window), so device memory per work item is fixed
+    regardless of alignment width (the (i, j)-tile grid streamed as
+    (block-row, j-window) items; per-item K applies per window).
     """
     K = st.edge_capacity
     LN = st.store_lanes
     T = st.tile
-    mi_buf, wog_buf = row_buffers(data, st, i0)
-    store_base, colmax_mask = row_masks(data, st, i0)
+    windowed = jc0 is not None
+    mi_buf, wog_buf = row_buffers(data, st, i0, jc0=jc0)
+    store_base, colmax_mask = row_masks(data, st, i0, jc0=jc0)
     neg = jnp.asarray(-jnp.inf, mi_buf.dtype)
+    Wb = mi_buf.shape[1]  # Lp, or row_window in windowed mode
 
     masked = jnp.where(colmax_mask, mi_buf, neg)
     colmax_i = jnp.max(masked, axis=1)   # (T,) maxima for rows i0..i0+T
-    colmax_j = jnp.max(masked, axis=0)   # (Lp,) contributions to j positions
+    colmax_j = jnp.max(masked, axis=0)   # (Wb,) contributions to j positions
 
     if st.compaction == "route":
         # scatter-free roll-routing (see ops/compact_route.py): element
@@ -467,18 +509,24 @@ def row_sweep_core(data: DeviceData, st: SweepStatics, i0, threshold,
         from spydrpick_tpu.ops.compact_route import compact_edges_route
 
         store = store_base & (mi_buf > threshold)
-        start = st.Lp - width if width is not None else 0
-        sub = (lambda x: x[:, start:]) if start > 0 else (lambda x: x)
-        vals, wogs, ipos, jpos, count, lines = compact_edges_route(
-            sub(mi_buf), None if wog_buf is None else sub(wog_buf),
-            sub(store), i0, K, LN, j_offset=start,
-        )
+        if windowed:
+            vals, wogs, ipos, jpos, count, lines = compact_edges_route(
+                mi_buf, wog_buf, store, i0, K, LN, j_offset=jc0,
+            )
+        else:
+            start = st.Lp - width if width is not None else 0
+            sub = (lambda x: x[:, start:]) if start > 0 else (lambda x: x)
+            vals, wogs, ipos, jpos, count, lines = compact_edges_route(
+                sub(mi_buf), None if wog_buf is None else sub(wog_buf),
+                sub(store), i0, K, LN, j_offset=start,
+            )
         return (colmax_i, colmax_j, vals.astype(mi_buf.dtype),
                 wogs.astype(mi_buf.dtype), ipos, jpos, count, lines)
 
     if st.compaction == "pallas":
         # streaming Pallas compaction (superseded by "route": its dense
         # repack phase is an element gather, ~100 ms/row on hardware)
+        assert not windowed, "pallas compaction has no windowed mode"
         from spydrpick_tpu.ops.compact_pallas import compact_edges_pallas
 
         vals, wogs, ipos, jpos, count = compact_edges_pallas(
@@ -501,13 +549,17 @@ def row_sweep_core(data: DeviceData, st: SweepStatics, i0, threshold,
     idxs = (
         jnp.zeros(K, jnp.int32)
         .at[dest]
-        .set(jnp.arange(T * st.Lp, dtype=jnp.int32), mode="drop")
+        .set(jnp.arange(T * Wb, dtype=jnp.int32), mode="drop")
     )
     vals = jnp.take(mi_buf.reshape(-1), idxs)
     wogs = (jnp.zeros_like(vals) if wog_buf is None
             else jnp.take(wog_buf.reshape(-1), idxs))
-    ipos = (i0 + idxs // st.Lp).astype(jnp.int32)
-    jpos = (idxs % st.Lp).astype(jnp.int32)
+    slot_live = jnp.arange(K, dtype=jnp.int32) < count
+    ipos = jnp.where(slot_live, i0 + idxs // Wb, 0).astype(jnp.int32)
+    base = jnp.asarray(0 if jc0 is None else jc0, jnp.int32)
+    # dead slots keep (0, 0) so the jpos > ipos fetch filter drops them
+    # even when the window offset exceeds i0
+    jpos = jnp.where(slot_live, base + idxs % Wb, 0).astype(jnp.int32)
     lines = (jnp.minimum(count, K) + LN - 1) // LN
     return colmax_i, colmax_j, vals, wogs, ipos, jpos, count, lines
 
@@ -523,16 +575,18 @@ def rows_group_core(
     offset,                # () int32: next free slot
     total,                 # () int32: true edge count (overflow detect)
     width: int | None = None,  # static route window (row_sweep_core)
+    chunk_starts=None,     # (G,) int32 j-window starts (windowed mode)
 ):
-    """Sweep a group of block-rows, appending edges to device-resident
+    """Sweep a group of block-rows (or (block-row, j-window) work items
+    when ``chunk_starts`` is given), appending edges to device-resident
     stores — no host transfer per row.  Stores are 2-D (lines, LN)
     with ``offset`` counted in LINES (see SweepStatics.store_lanes for
     why: a lane-dim dynamic update is a full-array shift on TPU).  The
-    per-row K-sized compaction window is appended at line ``offset``;
-    the garbage tail beyond each row's line count is overwritten by the
+    per-item K-sized compaction window is appended at line ``offset``;
+    the garbage tail beyond each item's line count is overwritten by the
     next append, so lines [0, offset) are always valid (sub-line holes
     are zero padding, dropped by the jpos > ipos fetch filter).
-    Overflow (a row exceeding K) is detected on the host from counts.
+    Overflow (an item exceeding K) is detected on the host from counts.
     """
     T = st.tile
     K = st.edge_capacity
@@ -541,13 +595,21 @@ def rows_group_core(
     cap_lines = mi_s.shape[0]
     G = row_starts.shape[0]
     KE = effective_row_capacity(st)
+    windowed = chunk_starts is not None
 
-    def one_row(i0, carry):
+    def one_row(i0, jc0, carry):
         colmax, mi_s, wog_s, ip_s, jp_s, offset, total = carry
         colmax_i, colmax_j, vals, wogs, ipos, jpos, count, lines = (
-            row_sweep_core(data, st, i0, threshold, width)
+            row_sweep_core(data, st, i0, threshold, width,
+                           jc0 if windowed else None)
         )
-        colmax = jnp.maximum(colmax, colmax_j)
+        if windowed:  # colmax_j covers only [jc0, jc0 + W)
+            cur_j = jax.lax.dynamic_slice(colmax, (jc0,), colmax_j.shape)
+            colmax = jax.lax.dynamic_update_slice(
+                colmax, jnp.maximum(cur_j, colmax_j), (jc0,)
+            )
+        else:
+            colmax = jnp.maximum(colmax, colmax_j)
         cur = jax.lax.dynamic_slice(colmax, (i0,), (T,))
         colmax = jax.lax.dynamic_update_slice(
             colmax, jnp.maximum(cur, colmax_i), (i0,)
@@ -565,9 +627,10 @@ def rows_group_core(
     def body(r, state):
         carry, counts, lines_a = state
         i0 = row_starts[r]
+        jc0 = chunk_starts[r] if windowed else None
         new_carry, count, lines = jax.lax.cond(
             i0 >= 0,
-            lambda c: one_row(i0, c),
+            lambda c: one_row(i0, jc0, c),
             lambda c: (c, jnp.int32(0), jnp.int32(0)),
             carry,
         )
@@ -580,12 +643,12 @@ def rows_group_core(
     return (*carry, counts, lines_a)
 
 
-def row_full_core(data: DeviceData, st: SweepStatics, i0):
-    """Full MI row (host-extraction fallback for capacity overflow);
-    always dual — overflow re-extraction needs exact wog for every edge
-    of the row regardless of lazy mode."""
-    mi_buf, wog_buf = row_buffers(data, st, i0, dual=True)
-    store_base, colmax_mask = row_masks(data, st, i0)
+def row_full_core(data: DeviceData, st: SweepStatics, i0, jc0=None):
+    """Full MI row, or one j-window of it (host-extraction fallback for
+    capacity overflow); always dual — overflow re-extraction needs
+    exact wog for every edge of the row regardless of lazy mode."""
+    mi_buf, wog_buf = row_buffers(data, st, i0, dual=True, jc0=jc0)
+    store_base, colmax_mask = row_masks(data, st, i0, jc0=jc0)
     return mi_buf, wog_buf, store_base, colmax_mask
 
 
@@ -688,6 +751,21 @@ def build_device_data(alignment: Alignment, config: EngineConfig) -> tuple[Devic
     L, S = alignment.n_loci, alignment.n_samples
     tile = config.tile
     Lp = max(_ceil_to(L, tile), tile)
+    # j-window width (see EngineConfig.row_window): auto-on past 2^17
+    # padded columns, where the full-width (tile, Lp) row buffer and
+    # its routing temporaries stop fitting comfortably; the window
+    # count is fixed first and the width rounded up so windows tile Lp
+    # exactly (bounded padding: < n_windows * tile columns).
+    rw = config.row_window
+    if rw == 0:
+        rw = (1 << 16) if Lp > (1 << 17) else 1
+    if rw > 1 and rw < Lp:
+        rw = max(_ceil_to(rw, tile), tile)
+        n_w = -(-Lp // rw)
+        rw = _ceil_to(-(-Lp // n_w), tile)
+        Lp = n_w * rw
+    else:
+        rw = 0
     cdtype = jnp.dtype(config.compute_dtype)
     sdtype = jnp.dtype(config.storage_dtype)
     if cdtype == jnp.float64:
@@ -711,6 +789,8 @@ def build_device_data(alignment: Alignment, config: EngineConfig) -> tuple[Devic
         "off": "xla", "xla": "xla",
         "route": "route", "auto": "route",
     }[config.use_pallas_compact]
+    if rw and compaction == "pallas":
+        compaction = "route"  # the legacy kernel has no windowed mode
     n_samples = S
     # sample-block size: biggest swept block whose zero-row padding
     # stays under ~15% (scripts/perf_kernel_sweep.py: 768 ~20% faster
@@ -785,6 +865,7 @@ def build_device_data(alignment: Alignment, config: EngineConfig) -> tuple[Devic
         unit_weights=unit_weights,
         onehot_codes=oh_mode == "codes",
         storage_dtype=str(jnp.dtype(sdtype)),
+        row_window=rw,
     )
     return data, statics
 
@@ -847,7 +928,9 @@ class MIEngine:
         n = self.config.width_buckets
         if n == 0:
             n = 4 if st.Lp >= 8192 else 1
-        if st.compaction != "route" or n <= 1:
+        if st.row_window or st.compaction != "route" or n <= 1:
+            # windowed mode needs no buckets: items left of the diagonal
+            # are simply never dispatched
             return [None]
         LN = st.store_lanes
         widths: set = set()
@@ -878,6 +961,24 @@ class MIEngine:
                 _group, donate_argnums=(3, 4, 5, 6, 7, 8, 9)
             )
         return self._rows_group_w[width]
+
+    def _group_fn_win(self):
+        """Windowed twin of :meth:`_group_fn`: one compiled program for
+        every (block-row, j-window) item group (both starts traced)."""
+        if "win" not in self._rows_group_w:
+            st = self.statics
+
+            def _group(data, row_starts, chunk_starts, threshold, colmax,
+                       mi_s, wog_s, ip_s, jp_s, offset, total):
+                return rows_group_core(data, st, row_starts, threshold,
+                                       colmax, mi_s, wog_s, ip_s, jp_s,
+                                       offset, total,
+                                       chunk_starts=chunk_starts)
+
+            self._rows_group_w["win"] = jax.jit(
+                _group, donate_argnums=(4, 5, 6, 7, 8, 9, 10)
+            )
+        return self._rows_group_w["win"]
 
     # ------------------------------------------------------------------ #
     def pair_mi(self, ipos: np.ndarray, jpos: np.ndarray, chunk: int = 8192) -> np.ndarray:
@@ -960,7 +1061,12 @@ class MIEngine:
         KL = K // LN
         K_eff = effective_row_capacity(self.statics)
         G = self.config.rows_per_dispatch
+        RW = self.statics.row_window
         row_starts = [r for r in range(0, L, T) if r not in done_rows]
+        # windowed mode: the unit of work is a (block-row, j-window)
+        # item; a row is done when all its windows past the diagonal
+        # have resolved
+        row_pending: dict[int, int] = {}
         packed = checkpoint_path is None
         wog_full = self.config.wog_fetch != "outliers"
 
@@ -974,7 +1080,7 @@ class MIEngine:
         offset = jnp.asarray(0, jnp.int32)  # in lines
         total = jnp.asarray(0, jnp.int32)
 
-        overflow_rows: list[int] = []
+        overflow_items: list[tuple[int, int | None]] = []  # (i0, jc0)
         expected_offset = 0
         pending: list[tuple[int, tuple]] = []  # (c0, device chunk arrays)
         collected: list[tuple] = []  # per-epoch host arrays (packed drain)
@@ -1012,15 +1118,26 @@ class MIEngine:
 
         # groups are width-uniform: each route-bucket width is its own
         # compiled program (see _route_widths); rows ascend, so buckets
-        # are contiguous and this costs no extra dispatches
-        widths = self._route_widths()
-        groups: list[tuple[int | None, list[int]]] = []
-        for r in row_starts:
-            w = self._bucket_width(r, widths)
-            if groups and groups[-1][0] == w and len(groups[-1][1]) < G:
-                groups[-1][1].append(r)
-            else:
-                groups.append((w, [r]))
+        # are contiguous and this costs no extra dispatches.  Windowed
+        # mode has a single program ("win": both starts traced), so
+        # groups are just consecutive G-item slices.
+        if RW:
+            items: list[tuple[int, int]] = []
+            for r in row_starts:
+                wins = [jc0 for jc0 in range((r // RW) * RW, self.Lp, RW)]
+                row_pending[r] = len(wins)
+                items.extend((r, jc0) for jc0 in wins)
+            groups = [("win", items[k: k + G])
+                      for k in range(0, len(items), G)]
+        else:
+            widths = self._route_widths()
+            groups: list[tuple[int | None, list]] = []
+            for r in row_starts:
+                w = self._bucket_width(r, widths)
+                if groups and groups[-1][0] == w and len(groups[-1][1]) < G:
+                    groups[-1][1].append((r, None))
+                else:
+                    groups.append((w, [(r, None)]))
         ck_rows = 0
         inflight: list[tuple[list[int], object, object, float]] = []
 
@@ -1035,16 +1152,21 @@ class MIEngine:
             counts_np = np.asarray(counts)
             lines_np = np.asarray(lines_a)
             sync_wait += time.perf_counter() - t_w0
-            for r, i0 in enumerate(grp):
-                done_rows.add(i0)
+            for r, (i0, jc0) in enumerate(grp):
+                if jc0 is None:
+                    done_rows.add(i0)
+                else:
+                    row_pending[i0] -= 1
+                    if row_pending[i0] == 0:
+                        done_rows.add(i0)
                 n = int(counts_np[r])
                 expected_offset += min(int(lines_np[r]), K // LN)
                 if n > K_eff:
-                    overflow_rows.append(i0)
+                    overflow_items.append((i0, jc0))
             if packed:
                 fetch_chunks_upto(expected_offset)
             if progress is not None:
-                progress(grp[0], min(grp[-1] + T, L),
+                progress(grp[0][0], min(grp[-1][0] + T, L),
                          int(counts_np.sum()), time.perf_counter() - g_t0)
 
         # pipeline_depth 1 resolves each group's counts synchronously
@@ -1072,12 +1194,21 @@ class MIEngine:
                     epoch_drains += 1
                     drain_epoch()
             t0 = time.perf_counter()
-            padded = group + [-1] * (G - len(group))
-            (colmax_d, mi_s, wog_s, ip_s, jp_s, offset, total, counts,
-             lines_a) = self._group_fn(gw)(
-                self.data, jnp.asarray(padded, jnp.int32), thr,
-                colmax_d, mi_s, wog_s, ip_s, jp_s, offset, total,
-            )
+            rows_p = [it[0] for it in group] + [-1] * (G - len(group))
+            if gw == "win":
+                chunks_p = [it[1] for it in group] + [0] * (G - len(group))
+                (colmax_d, mi_s, wog_s, ip_s, jp_s, offset, total, counts,
+                 lines_a) = self._group_fn_win()(
+                    self.data, jnp.asarray(rows_p, jnp.int32),
+                    jnp.asarray(chunks_p, jnp.int32), thr,
+                    colmax_d, mi_s, wog_s, ip_s, jp_s, offset, total,
+                )
+            else:
+                (colmax_d, mi_s, wog_s, ip_s, jp_s, offset, total, counts,
+                 lines_a) = self._group_fn(gw)(
+                    self.data, jnp.asarray(rows_p, jnp.int32), thr,
+                    colmax_d, mi_s, wog_s, ip_s, jp_s, offset, total,
+                )
             counts.copy_to_host_async()
             lines_a.copy_to_host_async()
             inflight.append((group, counts, lines_a, t0))
@@ -1089,18 +1220,18 @@ class MIEngine:
                 s_i, s_j, s_m, s_w, s_c = self._fetch_stores(
                     mi_s, wog_s, ip_s, jp_s, offset, colmax_d
                 )
-                # overflowed rows hold TRUNCATED edges in the store: drop
-                # them from the saved arrays and leave the rows out of
-                # done_rows so a resumed run re-sweeps (and re-extracts)
-                # them — persisting them as complete would silently lose
-                # every edge beyond the per-row window
-                save_done = done_rows
-                if overflow_rows:
-                    ov = np.asarray(overflow_rows, np.int64)
-                    bad = np.isin((s_i // T) * T, ov)
-                    s_i, s_j = s_i[~bad], s_j[~bad]
-                    s_m, s_w = s_m[~bad], s_w[~bad]
-                    save_done = done_rows - set(overflow_rows)
+                # persist only rows that are COMPLETE and un-overflowed:
+                # overflowed rows hold TRUNCATED edges in the store, and
+                # windowed rows may be partially swept — both re-sweep on
+                # resume (saving them as complete would silently lose
+                # edges beyond the per-item window / the missing windows)
+                save_done = done_rows - {i0 for i0, _ in overflow_items}
+                keep = np.isin(
+                    (s_i // T) * T,
+                    np.fromiter(save_done, np.int64, len(save_done)),
+                )
+                s_i, s_j = s_i[keep], s_j[keep]
+                s_m, s_w = s_m[keep], s_w[keep]
                 ckpt_mod.save(
                     checkpoint_path,
                     ckpt_mod.SweepCheckpoint(
@@ -1148,24 +1279,35 @@ class MIEngine:
         t_fetch = time.perf_counter() - t_fetch0
         t_overflow0 = time.perf_counter()
         colmax = np.maximum(colmax, s_c)
-        if overflow_rows:
-            # rows whose edge count exceeded the per-row window K: their
-            # stored entries are truncated — drop and re-extract on host
-            bad = np.isin((s_i // T) * T, np.asarray(overflow_rows, np.int64))
+        if overflow_items:
+            # items whose edge count exceeded the per-item window K:
+            # their stored entries are truncated — drop and re-extract
+            # on host (windowed items drop only their own j-window)
+            srow = (s_i // T) * T
+            bad = np.zeros(len(s_i), bool)
+            for i0, jc0 in overflow_items:
+                b = srow == i0
+                if jc0 is not None:
+                    b &= (s_j >= jc0) & (s_j < jc0 + RW)
+                bad |= b
             s_i, s_j, s_m = s_i[~bad], s_j[~bad], s_m[~bad]
             if s_w is not None:
                 s_w = s_w[~bad]
             if s_line is not None:
                 s_line, s_lane = s_line[~bad], s_lane[~bad]
-            for i0 in overflow_rows:
-                mi_buf, wog_buf, store_base, _ = jax.tree.map(
-                    np.asarray,
-                    self._row_full(self.data, i0=jnp.asarray(i0, jnp.int32)),
-                )
+            for i0, jc0 in overflow_items:
+                if jc0 is None:
+                    bufs = self._row_full(
+                        self.data, i0=jnp.asarray(i0, jnp.int32))
+                else:
+                    bufs = self._row_full(
+                        self.data, i0=jnp.asarray(i0, jnp.int32),
+                        jc0=jnp.asarray(jc0, jnp.int32))
+                mi_buf, wog_buf, store_base, _ = jax.tree.map(np.asarray, bufs)
                 mask = store_base & (mi_buf > threshold)
                 ii, jj = np.nonzero(mask)
                 all_i.append(i0 + ii.astype(np.int64))
-                all_j.append(jj.astype(np.int64))
+                all_j.append((0 if jc0 is None else jc0) + jj.astype(np.int64))
                 all_mi.append(mi_buf[mask].astype(np.float64))
                 all_wog.append(wog_buf[mask].astype(np.float64))
         if s_w is None:
@@ -1184,7 +1326,7 @@ class MIEngine:
             timings["compute_s"] = t_compute
             timings["fetch_s"] = t_fetch
             timings["overflow_s"] = time.perf_counter() - t_overflow0
-            timings["overflow_rows"] = len(overflow_rows)
+            timings["overflow_rows"] = len(overflow_items)
             timings["fetched_edges"] = (
                 fetched_lines_total if packed else expected_offset
             ) * LN

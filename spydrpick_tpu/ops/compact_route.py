@@ -45,11 +45,14 @@ def _route_shift(mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(mask, shift, 0)
 
 
-def _route_kernel(*refs, bits, W, j_offset, with_wog):
+def _route_kernel(*refs, bits, W, with_wog):
     """All routing rounds over one (BR, W) row block, VMEM-resident —
     the XLA version streams ~log2(W) full roll+select passes through
     HBM (~13 GB per (512, 30720) block-row); here HBM sees each array
-    once.  jidx is built from iota in-register (never read from HBM)."""
+    once.  jidx is built from iota in-register (never read from HBM);
+    it is buffer-LOCAL — the caller adds the window offset post-route
+    (so the offset may be a traced value: one compiled program serves
+    every window of a j-chunked sweep)."""
     from jax.experimental.pallas import tpu as pltpu
 
     if with_wog:
@@ -61,7 +64,7 @@ def _route_kernel(*refs, bits, W, j_offset, with_wog):
     rs = rs_ref[:]
     mi = mi_ref[:]
     lane = jax.lax.broadcasted_iota(jnp.int32, rs.shape, 1)
-    jidx = lane + j_offset
+    jidx = lane
     for b in range(bits):
         sh = 1 << b
         # left-rotate by sh == pltpu.roll by W - sh (shift must be >= 0)
@@ -80,11 +83,12 @@ def _route_kernel(*refs, bits, W, j_offset, with_wog):
         owog_ref[:] = wog
 
 
-def route_rows_pallas(mask, mi, wog=None, j_offset: int = 0,
+def route_rows_pallas(mask, mi, wog=None,
                       interpret: bool | None = None):
     """Pallas twin of :func:`route_rows` for the store compaction:
-    returns (routed_mi, routed_jidx[int32], routed_wog_or_None, counts),
-    bit-identical to the XLA routing (values move verbatim).
+    returns (routed_mi, routed_local_jidx[int32], routed_wog_or_None,
+    counts), bit-identical to the XLA routing (values move verbatim).
+    jidx is buffer-local; callers add their window offset.
 
     Requires W % 128 == 0 and R % 8 == 0 (production shapes; callers
     fall back to the XLA path otherwise)."""
@@ -105,7 +109,7 @@ def route_rows_pallas(mask, mi, wog=None, j_offset: int = 0,
 
     with_wog = wog is not None
     kernel = functools.partial(_route_kernel, bits=bits, W=W,
-                               j_offset=j_offset, with_wog=with_wog)
+                               with_wog=with_wog)
     spec = pl.BlockSpec((br, W), lambda i: (i, 0))
     n_in = 3 if with_wog else 2
     outs = [
@@ -165,10 +169,13 @@ def compact_edges_route(mi_buf, wog_buf, store_mask, i0, K: int, LN: int = 128,
     ``wog_buf`` may be None (lazy-wog mode): the wog output is then all
     zeros and only two payloads are routed.
 
-    ``j_offset`` (static) is the global column index of buffer column 0
-    — callers may pass a right-aligned slice of the full row (block-row
+    ``j_offset`` is the global column index of buffer column 0 —
+    callers may pass a right-aligned slice of the full row (block-row
     i0 only stores j > i0, so the left half of late rows is dead weight
-    for the O(W log W) routing).
+    for the O(W log W) routing) or a j-chunk window of a row too wide
+    to buffer whole.  It may be a TRACED scalar (added to the routed
+    local indices post-gather), so one compiled program serves every
+    window position; ``i0`` may be traced likewise.
 
     Returns (vals, wogs, ipos, jpos, count, lines):
       * the (K,) outputs are ``lines`` 128-lane lines of line-packed
@@ -211,10 +218,10 @@ def compact_edges_route(mi_buf, wog_buf, store_mask, i0, K: int, LN: int = 128,
         # VMEM-resident routing rounds (HBM reads each array once vs
         # ~log2(W) full roll+select passes in the XLA fallback)
         r_mi, r_j, r_wog, counts = route_rows_pallas(
-            store_mask, mi_buf, wog_buf, j_offset=j_offset
+            store_mask, mi_buf, wog_buf
         )
     else:
-        jidx = jax.lax.broadcasted_iota(wd, (T, Lp), 1) + wd.type(j_offset)
+        jidx = jax.lax.broadcasted_iota(wd, (T, Lp), 1)  # buffer-local
         if wog_buf is None:
             (r_mi, r_j), counts = route_rows(store_mask, (mi_buf, jidx))
             r_wog = None
@@ -254,7 +261,8 @@ def compact_edges_route(mi_buf, wog_buf, store_mask, i0, K: int, LN: int = 128,
         wogs = jnp.zeros_like(vals)
     else:
         wogs = jnp.where(valid, gather_lines(r_wog), 0.0).reshape(-1)
-    jpos = jnp.where(valid, g_j.astype(jnp.int32), 0).reshape(-1)
+    joff = jnp.asarray(j_offset, jnp.int32)
+    jpos = jnp.where(valid, g_j.astype(jnp.int32) + joff, 0).reshape(-1)
     ipos = jnp.where(valid, i0 + r[:, None], 0).reshape(-1)
 
     overflow = total_lines > KL

@@ -245,6 +245,12 @@ def sharded_sweep(
 
     mesh = mesh or make_mesh()
     st = engine.statics
+    if st.row_window:
+        raise NotImplementedError(
+            "sharded_sweep does not support j-windowed rows yet; build "
+            "the engine with row_window=1 (full-width) or shard the "
+            "sample axis for very wide alignments"
+        )
     if st.wog_lazy and checkpoint_path:
         raise ValueError(
             "checkpointing needs the full wog store (snapshots hold "

@@ -87,6 +87,7 @@ class PipelineOptions:
     onehot_storage: str = "auto"
     rows_per_dispatch: int = 8
     pipeline_depth: int = 1
+    row_window: int = 0      # 0=auto: j-window very wide alignments
     use_pallas: str = "auto"
     use_pallas_compact: str = "auto"
     matmul_precision: str = "high"
@@ -208,6 +209,8 @@ def run_pipeline(opts: PipelineOptions, write_outputs: bool = True) -> PipelineR
         onehot_storage=opts.onehot_storage,
         rows_per_dispatch=opts.rows_per_dispatch,
         pipeline_depth=opts.pipeline_depth,
+        # sharded sweeps scale width via the mesh, not j-windows
+        row_window=1 if opts.sharded else opts.row_window,
         use_pallas=opts.use_pallas,
         use_pallas_compact=opts.use_pallas_compact,
         matmul_precision=opts.matmul_precision,

@@ -178,3 +178,49 @@ def test_cli_checkpoint_resume_outputs_match(tmp_path):
     for name in clean_files:
         with open(clean_dir / name, "rb") as f1, open(resume_dir / name, "rb") as f2:
             assert f1.read() == f2.read(), name
+
+
+def test_row_window_checkpoint_resume_matches_clean(tmp_path):
+    """Windowed sweep killed mid-run: a checkpoint may catch a row with
+    only SOME of its j-windows swept — those partial rows must be
+    dropped from the saved arrays and re-swept on resume (persisting
+    them would double- or under-count their windows)."""
+    al = random_alignment(n_samples=40, n_loci=96, seed=97, gap_frac=0.1)
+    cfg = EngineConfig(tile=8, row_window=24, rows_per_dispatch=2,
+                       wog_fetch="full")
+    clean = MIEngine(al, cfg).sweep(0.02).sort_desc()
+
+    class Killed(Exception):
+        pass
+
+    calls = {"n": 0}
+
+    def progress(r0, r1, n_edges, dt):
+        calls["n"] += 1
+        if calls["n"] == 5:  # die mid-sweep, partway through the items
+            raise Killed
+
+    path = str(tmp_path / "win.ckpt")
+    engine2 = MIEngine(al, cfg)
+    try:
+        engine2.sweep(0.02, progress=progress, checkpoint_path=path,
+                      checkpoint_every=3)
+        raise AssertionError("progress kill did not fire")
+    except Killed:
+        pass
+    assert os.path.exists(path)
+    saved = ck.load(path, ck.params_key(engine2.statics, 0.02))
+    assert saved is not None
+    # every persisted edge belongs to a row listed as done
+    if saved.ipos:
+        rows = (saved.ipos[0] // 8) * 8
+        assert set(np.unique(rows)) <= saved.done_rows
+
+    resumed = MIEngine(al, cfg).sweep(
+        0.02, checkpoint_path=path).sort_desc()
+    assert resumed.n_edges == clean.n_edges
+    np.testing.assert_array_equal(resumed.ipos, clean.ipos)
+    np.testing.assert_array_equal(resumed.jpos, clean.jpos)
+    np.testing.assert_allclose(resumed.mi, clean.mi, rtol=1e-6)
+    np.testing.assert_allclose(resumed.mi_wog, clean.mi_wog, rtol=1e-6)
+    np.testing.assert_allclose(resumed.colmax, clean.colmax, rtol=1e-6)

@@ -327,3 +327,102 @@ def test_epoch_recycling_with_partial_overflow():
     np.testing.assert_array_equal(ref.jpos, got.jpos)
     np.testing.assert_array_equal(ref.mi, got.mi)
     np.testing.assert_array_equal(ref.mi_wog, got.mi_wog)
+
+
+# --------------------------------------------------------------------- #
+# j-windowed rows (EngineConfig.row_window): wide-alignment streaming
+# --------------------------------------------------------------------- #
+
+def _assert_edgesets_equal(a, b, exact=True):
+    assert a.n_edges == b.n_edges, (a.n_edges, b.n_edges)
+    np.testing.assert_array_equal(a.ipos, b.ipos)
+    np.testing.assert_array_equal(a.jpos, b.jpos)
+    if exact:
+        np.testing.assert_array_equal(a.mi, b.mi)
+        np.testing.assert_array_equal(a.mi_wog, b.mi_wog)
+    else:
+        np.testing.assert_allclose(a.mi, b.mi, rtol=1e-6)
+        np.testing.assert_allclose(a.mi_wog, b.mi_wog, rtol=1e-6)
+    np.testing.assert_allclose(a.colmax[: len(b.colmax)],
+                               b.colmax[: len(a.colmax)], rtol=1e-6)
+
+
+def test_row_window_matches_full():
+    """Windowed sweep (the 10^6-column streaming mode) must equal the
+    full-width sweep bit-for-bit: same tiles, same route compaction,
+    only the buffering granularity differs."""
+    al = random_alignment(n_samples=40, n_loci=100, seed=90, gap_frac=0.1)
+    full = MIEngine(al, EngineConfig(tile=8, row_window=1)).sweep(0.03)
+    win = MIEngine(al, EngineConfig(tile=8, row_window=16)).sweep(0.03)
+    _assert_edgesets_equal(full.sort_desc(), win.sort_desc())
+
+
+def test_row_window_size_invariance():
+    """Results must not depend on the window width (the same invariance
+    as tile size / shard count, SURVEY §4)."""
+    al = random_alignment(n_samples=50, n_loci=90, seed=91, gap_frac=0.15)
+    sweeps = [
+        MIEngine(al, EngineConfig(tile=8, row_window=w)).sweep(0.02).sort_desc()
+        for w in (16, 24, 48)
+    ]
+    for s in sweeps[1:]:
+        _assert_edgesets_equal(sweeps[0], s)
+
+
+def test_row_window_oracle():
+    """Windowed sweep against the f64 brute-force oracle."""
+    al = random_alignment(n_samples=60, n_loci=80, seed=92, gap_frac=0.12)
+    _compare(al, 0.04, EngineConfig(tile=8, row_window=16))
+
+
+def test_row_window_overflow_reextraction():
+    """Per-ITEM overflow: only the overflowed (row, window) is dropped
+    and re-extracted; sibling windows of the same row keep their stored
+    edges."""
+    al = random_alignment(n_samples=40, n_loci=96, seed=93, gap_frac=0.1)
+    ref = MIEngine(al, EngineConfig(tile=8, row_window=1)).sweep(-1.0)
+    # K=128 < 8*88 pairs of early windows -> several items overflow
+    win = MIEngine(al, EngineConfig(tile=8, row_window=32,
+                                    edge_capacity=128))
+    timings: dict = {}
+    got = win.sweep(-1.0, timings=timings)
+    assert timings["overflow_rows"] > 0  # counted per item
+    assert got.n_edges == 96 * 95 // 2
+    _assert_edgesets_equal(ref.sort_desc(), got.sort_desc())
+
+
+def test_row_window_xla_compaction():
+    """Windowed mode with the cumsum+scatter fallback compaction."""
+    al = random_alignment(n_samples=40, n_loci=70, seed=94)
+    ref = MIEngine(al, EngineConfig(tile=8, row_window=1)).sweep(0.02)
+    got = MIEngine(al, EngineConfig(tile=8, row_window=16,
+                                    use_pallas_compact="off")).sweep(0.02)
+    _assert_edgesets_equal(ref.sort_desc(), got.sort_desc())
+
+
+def test_row_window_wog_full_drain():
+    """Windowed mode with the full (non-lazy) wog drain."""
+    al = random_alignment(n_samples=40, n_loci=70, seed=95, gap_frac=0.2)
+    ref = MIEngine(al, EngineConfig(tile=8, row_window=1,
+                                    wog_fetch="full")).sweep(0.02)
+    got = MIEngine(al, EngineConfig(tile=8, row_window=16,
+                                    wog_fetch="full")).sweep(0.02)
+    _assert_edgesets_equal(ref.sort_desc(), got.sort_desc())
+
+
+def test_row_window_auto_and_rounding():
+    """row_window resolution: explicit widths round to tiles and divide
+    Lp exactly; auto stays full-width below 2^17 padded columns."""
+    from spydrpick_tpu.engine.solver import build_device_data
+
+    al = random_alignment(n_samples=4, n_loci=1000, seed=96)
+    # auto at this width: full rows
+    _, st = build_device_data(al, EngineConfig(tile=8))
+    assert st.row_window == 0
+    # explicit: rounded to a tile multiple that tiles Lp exactly
+    _, st = build_device_data(al, EngineConfig(tile=8, row_window=100))
+    assert st.row_window % 8 == 0
+    assert st.Lp % st.row_window == 0
+    # window >= Lp degenerates to full-width
+    _, st = build_device_data(al, EngineConfig(tile=8, row_window=4096))
+    assert st.row_window == 0
