@@ -121,7 +121,8 @@ def make_sharded_row_step(mesh: Mesh, st: SweepStatics):
     return step
 
 
-def make_sharded_group_step(mesh: Mesh, st: SweepStatics):
+def make_sharded_group_step(mesh: Mesh, st: SweepStatics,
+                            windowed: bool = False):
     """Jitted SPMD step over groups of block-rows with device-resident
     edge stores (the multi-chip twin of ``MIEngine._rows_group``).
 
@@ -130,6 +131,10 @@ def make_sharded_group_step(mesh: Mesh, st: SweepStatics):
     counts and (n_dev,) offsets — a few hundred bytes — are replicated
     for the host; stores stay on device until :func:`make_drain`.
     Stores and carries are donated, so they update in place.
+
+    ``windowed`` (st.row_window > 0): work items are (block-row,
+    j-window) pairs — the step takes an extra (G,) chunk_starts
+    operand (see solver.row_sweep_core's ``jc0``).
     """
     n_rows_sh, n_samp = _mesh_shape(mesh)
     if n_samp > 1:
@@ -149,6 +154,30 @@ def make_sharded_group_step(mesh: Mesh, st: SweepStatics):
     else:
         data_specs = jax.tree.map(lambda _: P(), DeviceData(*[0] * 6))
     sh = P("rows")
+
+    if windowed:
+        @partial(jax.jit, donate_argnums=(4, 5, 6, 7, 8, 9, 10))
+        @_smap(
+            mesh=mesh,
+            in_specs=(data_specs, sh, sh, P(), sh, sh, sh, sh, sh, sh, sh),
+            out_specs=(sh, sh, sh, sh, sh, sh, sh, P(), P(), P()),
+        )
+        def step(data, row_starts, chunk_starts, thr, colmax, mi_s, wog_s,
+                 ip_s, jp_s, offset, total):
+            (colmax1, mi_s1, wog_s1, ip_s1, jp_s1, offset1, total1, counts,
+             lines) = rows_group_core(
+                data, st, row_starts[0], thr, colmax[0], mi_s[0], wog_s[0],
+                ip_s[0], jp_s[0], offset[0], total[0],
+                chunk_starts=chunk_starts[0],
+            )
+            counts_all = jax.lax.all_gather(counts, "rows")
+            lines_all = jax.lax.all_gather(lines, "rows")
+            offs_all = jax.lax.all_gather(offset1, "rows")
+            return (colmax1[None], mi_s1[None], wog_s1[None], ip_s1[None],
+                    jp_s1[None], offset1[None], total1[None],
+                    counts_all, lines_all, offs_all)
+
+        return step
 
     @partial(jax.jit, donate_argnums=(3, 4, 5, 6, 7, 8, 9))
     @_smap(
@@ -245,12 +274,6 @@ def sharded_sweep(
 
     mesh = mesh or make_mesh()
     st = engine.statics
-    if st.row_window:
-        raise NotImplementedError(
-            "sharded_sweep does not support j-windowed rows yet; build "
-            "the engine with row_window=1 (full-width) or shard the "
-            "sample axis for very wide alignments"
-        )
     if st.wog_lazy and checkpoint_path:
         raise ValueError(
             "checkpointing needs the full wog store (snapshots hold "
@@ -295,7 +318,8 @@ def sharded_sweep(
             gap=shd(data.gap, P()),
             orig_pos=shd(data.orig_pos, P()),
         )
-    step = make_sharded_group_step(mesh, st)
+    RW = st.row_window
+    step = make_sharded_group_step(mesh, st, windowed=bool(RW))
 
     multiprocess = len({d.process_index for d in mesh.devices.flat}) > 1
     if multiprocess and n_samp == 1:
@@ -332,11 +356,24 @@ def sharded_sweep(
             done_rows = ck.done_rows
 
     n_rows = -(-L // T)
-    order = [r * T for r in balanced_row_order(n_rows) if r * T not in done_rows]
+    row_order = [r * T for r in balanced_row_order(n_rows)
+                 if r * T not in done_rows]
+    # windowed mode: the unit of work is a (block-row, j-window) item;
+    # the balanced row interleaving already mixes cheap/expensive rows,
+    # and each row expands to its live windows in order
+    row_pending: dict[int, int] = {}
+    order: list[tuple[int, int | None]] = []
+    for r in row_order:
+        if RW:
+            wins = list(range((r // RW) * RW, st.Lp, RW))
+            row_pending[r] = len(wins)
+            order.extend((r, jc0) for jc0 in wins)
+        else:
+            order.append((r, None))
     # pad to a multiple of n_dev*G with skip markers
     per_step = n_dev * G
     while len(order) % per_step:
-        order.append(-1)
+        order.append((-1, 0))
 
     def shard_init(shape, dtype, fill=0):
         arr = np.full(shape, fill, dtype)
@@ -387,12 +424,12 @@ def sharded_sweep(
         cat = lambda xs: np.concatenate(xs) if xs else np.empty(0)
         return tuple(cat(x) for x in outs) + (cm[:L].astype(np.float64),)
 
-    overflow_rows: list[int] = []
+    overflow_items: list[tuple[int, int | None]] = []  # (i0, jc0)
     expected_off = np.zeros(n_dev, np.int64)
     offs_np = np.zeros(n_dev, np.int32)
     # epoch-drained pieces (filtered of truncated overflow rows at drain
     # time — a row's overflow is detected in its own batch, before any
-    # later drain, so the current overflow_rows list always covers the
+    # later drain, so the current overflow_items list always covers the
     # drained data); same design as MIEngine.sweep's packed epochs
     ep_i: list = []
     ep_j: list = []
@@ -403,8 +440,14 @@ def sharded_sweep(
         s_i, s_j, s_m, s_w, s_c = drain_now(
             mi_s, wog_s, ip_s, jp_s, colmax_d, offs
         )
-        if overflow_rows:
-            bad = np.isin((s_i // T) * T, np.asarray(overflow_rows, np.int64))
+        if overflow_items:
+            srow = (s_i // T) * T
+            bad = np.zeros(len(s_i), bool)
+            for i0, jc0 in overflow_items:
+                b = srow == i0
+                if jc0 is not None:  # windowed: drop only this j-window
+                    b &= (s_j >= jc0) & (s_j < jc0 + RW)
+                bad |= b
             s_i, s_j = s_i[~bad], s_j[~bad]
             s_m, s_w = s_m[~bad], s_w[~bad]
         return s_i, s_j, s_m, s_w, s_c
@@ -430,15 +473,26 @@ def sharded_sweep(
         # device d gets batch[d::n_dev]: a cheap/expensive mix from the
         # balanced interleaving
         starts = np.full((n_dev, G), -1, np.int32)
+        chunks = np.zeros((n_dev, G), np.int32)
         for d in range(n_dev):
             mine = batch[d::n_dev]
-            starts[d, : len(mine)] = mine
+            starts[d, : len(mine)] = [it[0] for it in mine]
+            if RW:
+                chunks[d, : len(mine)] = [it[1] for it in mine]
         starts_d = jax.device_put(starts, row_spec)
-        (colmax_d, mi_s, wog_s, ip_s, jp_s, offset, total,
-         counts, lines_b, offs) = step(
-            data, starts_d, thr, colmax_d, mi_s, wog_s, ip_s, jp_s,
-            offset, total,
-        )
+        if RW:
+            chunks_d = jax.device_put(chunks, row_spec)
+            (colmax_d, mi_s, wog_s, ip_s, jp_s, offset, total,
+             counts, lines_b, offs) = step(
+                data, starts_d, chunks_d, thr, colmax_d, mi_s, wog_s,
+                ip_s, jp_s, offset, total,
+            )
+        else:
+            (colmax_d, mi_s, wog_s, ip_s, jp_s, offset, total,
+             counts, lines_b, offs) = step(
+                data, starts_d, thr, colmax_d, mi_s, wog_s, ip_s, jp_s,
+                offset, total,
+            )
         counts_np = np.asarray(counts)  # replicated: safe on any process
         lines_np = np.asarray(lines_b)
         offs_np = np.asarray(offs)
@@ -447,11 +501,17 @@ def sharded_sweep(
                 i0 = int(starts[d, g])
                 if i0 < 0:
                     continue
-                done_rows.add(i0)
+                jc0 = int(chunks[d, g]) if RW else None
+                if RW:
+                    row_pending[i0] -= 1
+                    if row_pending[i0] == 0:
+                        done_rows.add(i0)
+                else:
+                    done_rows.add(i0)
                 n = int(counts_np[d, g])
                 expected_off[d] += min(int(lines_np[d, g]), KL)
                 if n > K_eff:
-                    overflow_rows.append(i0)
+                    overflow_items.append((i0, jc0))
         if progress is not None:
             live = starts[starts >= 0]
             progress(int(live.min()), int(live.max()) + T,
@@ -462,14 +522,28 @@ def sharded_sweep(
             s_i, s_j, s_m, s_w, s_c = drain_filtered(
                 mi_s, wog_s, ip_s, jp_s, colmax_d, offs_np
             )
-            save_done = done_rows - set(overflow_rows)
+            # persist only COMPLETE, un-overflowed rows (windowed rows
+            # may be partially swept at this point — they re-sweep on
+            # resume; the already-drained epoch pieces keep their edges
+            # for the live run's final assembly)
+            save_done = done_rows - {i0 for i0, _ in overflow_items}
             if jax.process_index() == 0:
+                cat = lambda xs, dt: (
+                    np.concatenate(xs) if xs else np.empty(0, dt))
+                c_i = cat(all_i + ep_i + [s_i], np.int64)
+                c_j = cat(all_j + ep_j + [s_j], np.int64)
+                c_m = cat(all_mi + ep_m + [s_m], np.float64)
+                c_w = cat(all_wog + ep_w + [s_w], np.float64)
+                keep = np.isin(
+                    (c_i // T) * T,
+                    np.fromiter(save_done, np.int64, len(save_done)),
+                )
                 ckpt_mod.save(
                     checkpoint_path,
                     ckpt_mod.SweepCheckpoint(
                         ck_key, save_done, np.maximum(colmax_host, s_c),
-                        all_i + ep_i + [s_i], all_j + ep_j + [s_j],
-                        all_mi + ep_m + [s_m], all_wog + ep_w + [s_w],
+                        [c_i[keep]], [c_j[keep]],
+                        [c_m[keep]], [c_w[keep]],
                     ),
                 )
     t_compute = time.perf_counter() - t_compute0
@@ -500,17 +574,21 @@ def sharded_sweep(
             s_w[cand] = engine.pair_wog(s_i[cand], s_j[cand])
 
     t_overflow0 = time.perf_counter()
-    if overflow_rows:
-        for i0 in overflow_rows:
+    if overflow_items:
+        for i0, jc0 in overflow_items:
             # replicated re-extraction: identical on every process
-            mi_buf, wog_buf, store_base, _ = jax.tree.map(
-                np.asarray,
-                engine._row_full(engine.data, i0=jnp.asarray(i0, jnp.int32)),
-            )
+            if jc0 is None:
+                bufs = engine._row_full(
+                    engine.data, i0=jnp.asarray(i0, jnp.int32))
+            else:
+                bufs = engine._row_full(
+                    engine.data, i0=jnp.asarray(i0, jnp.int32),
+                    jc0=jnp.asarray(jc0, jnp.int32))
+            mi_buf, wog_buf, store_base, _ = jax.tree.map(np.asarray, bufs)
             mask = store_base & (mi_buf > threshold)
             ii, jj = np.nonzero(mask)
             all_i.append(i0 + ii.astype(np.int64))
-            all_j.append(jj.astype(np.int64))
+            all_j.append((0 if jc0 is None else jc0) + jj.astype(np.int64))
             all_mi.append(mi_buf[mask].astype(np.float64))
             all_wog.append(wog_buf[mask].astype(np.float64))
     all_i.append(s_i)
@@ -522,7 +600,7 @@ def sharded_sweep(
         timings["compute_s"] = t_compute
         timings["fetch_s"] = t_fetch
         timings["overflow_s"] = time.perf_counter() - t_overflow0
-        timings["overflow_rows"] = len(overflow_rows)
+        timings["overflow_rows"] = len(overflow_items)
         timings["fetched_edges"] = int(offs_np.sum()) * LN + sum(
             len(x) for x in ep_i
         )

@@ -209,8 +209,7 @@ def run_pipeline(opts: PipelineOptions, write_outputs: bool = True) -> PipelineR
         onehot_storage=opts.onehot_storage,
         rows_per_dispatch=opts.rows_per_dispatch,
         pipeline_depth=opts.pipeline_depth,
-        # sharded sweeps scale width via the mesh, not j-windows
-        row_window=1 if opts.sharded else opts.row_window,
+        row_window=opts.row_window,
         use_pallas=opts.use_pallas,
         use_pallas_compact=opts.use_pallas_compact,
         matmul_precision=opts.matmul_precision,

@@ -163,3 +163,41 @@ def test_sharded_all_features_compose():
     cand = fm >= thr_out
     assert cand.any()
     np.testing.assert_allclose(fw[cand], lw[cand], rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_row_window_matches_single(n_dev):
+    """Windowed (j-chunked) sharded sweep == full-width single-device:
+    the wide-alignment streaming mode composes with the row mesh."""
+    al = random_alignment(n_samples=50, n_loci=120, seed=45, gap_frac=0.1)
+    full = MIEngine(al, EngineConfig(tile=8, row_window=1)).sweep(0.03)
+    win_eng = MIEngine(al, EngineConfig(tile=8, row_window=32))
+    sharded = sharded_sweep(win_eng, 0.03, make_mesh(n_dev))
+    si, sj, sm, sw = _key(full)
+    mi_, mj, mm, mw = _key(sharded)
+    np.testing.assert_array_equal(si, mi_)
+    np.testing.assert_array_equal(sj, mj)
+    np.testing.assert_allclose(sm, mm, rtol=1e-6)
+    np.testing.assert_allclose(sw, mw, rtol=1e-6)
+    np.testing.assert_allclose(
+        full.colmax, sharded.colmax[: len(full.colmax)], rtol=1e-6)
+
+
+def test_sharded_row_window_overflow_and_epochs():
+    """Windowed sharded sweep under item overflow + store recycling."""
+    al = random_alignment(n_samples=40, n_loci=128, seed=46, gap_frac=0.1)
+    ref = MIEngine(al, EngineConfig(tile=8, row_window=1)).sweep(-1.0)
+    eng = MIEngine(al, EngineConfig(tile=8, row_window=32,
+                                    edge_capacity=128,
+                                    store_capacity=1 << 10,
+                                    rows_per_dispatch=2))
+    timings: dict = {}
+    sharded = sharded_sweep(eng, -1.0, make_mesh(4), timings=timings)
+    assert timings["overflow_rows"] > 0
+    assert sharded.n_edges == 128 * 127 // 2
+    si, sj, sm, sw = _key(ref)
+    mi_, mj, mm, mw = _key(sharded)
+    np.testing.assert_array_equal(si, mi_)
+    np.testing.assert_array_equal(sj, mj)
+    np.testing.assert_allclose(sm, mm, rtol=1e-6)
+    np.testing.assert_allclose(sw, mw, rtol=1e-6)
