@@ -451,14 +451,19 @@ def row_masks(data: DeviceData, st: SweepStatics, i0, jc0=None):
     > ld_threshold (mi.hpp:423-427).
     """
     T = st.tile
-    W = st.Lp if jc0 is None else st.row_window
-    base = jnp.asarray(0 if jc0 is None else jc0, jnp.int32)
     i_global = i0 + jnp.arange(T, dtype=jnp.int32)
-    j_global = base + jnp.arange(W, dtype=jnp.int32)
+    if jc0 is None:
+        W = st.Lp
+        j_global = jnp.arange(W, dtype=jnp.int32)
+        jpos_orig = data.orig_pos
+    else:
+        W = st.row_window
+        base = jnp.asarray(jc0, jnp.int32)
+        j_global = base + jnp.arange(W, dtype=jnp.int32)
+        jpos_orig = jax.lax.dynamic_slice(data.orig_pos, (base,), (W,))
     valid = (i_global[:, None] < st.L) & (j_global[None, :] < st.L)
     upper = j_global[None, :] > i_global[:, None]
     ipos_orig = data.orig_pos[jnp.clip(i_global, 0, st.Lp - 1)]
-    jpos_orig = jax.lax.dynamic_slice(data.orig_pos, (base,), (W,))
     d = jnp.abs(ipos_orig[:, None] - jpos_orig[None, :])
     if not st.linear_genome:
         d = jnp.minimum(d, st.genome_size - d)
@@ -677,6 +682,9 @@ def pairs_mi_core(data: DeviceData, st: SweepStatics, ipos, jpos):
     C = jnp.einsum("spa,spb->pab", xi_w, xj,
                    preferred_element_type=_buf_dtype(st),
                    precision=st.xtab_precision)
+    if st.psum_axis:
+        # sample-sharded crosstable merge (see tile_mi_pair)
+        C = jax.lax.psum(C, st.psum_axis)
     ip = data.presence[ipos]
     jp = data.presence[jpos]
     return mi_from_crosstabs(C, ip, jp, st.pseudocount)
@@ -695,6 +703,9 @@ def pairs_mi_dual_core(data: DeviceData, st: SweepStatics, ipos, jpos):
     C = jnp.einsum("spa,spb->pab", xi_w, xj,
                    preferred_element_type=_buf_dtype(st),
                    precision=st.xtab_precision)
+    if st.psum_axis:
+        # sample-sharded crosstable merge (see tile_mi_pair)
+        C = jax.lax.psum(C, st.psum_axis)
     mi = mi_from_crosstabs(C, data.presence[ipos], data.presence[jpos],
                            st.pseudocount)
     wog = mi_from_crosstabs(C, data.presence_wog[ipos],

@@ -230,6 +230,157 @@ def make_drain(mesh: Mesh, st: SweepStatics, m: int):
     return drain
 
 
+def shard_sample_data(engine: MIEngine, mesh: Mesh):
+    """Commit the engine's alignment tensors to a 2-D (rows, samples)
+    mesh: the sample axis is padded to the shard count (zero weights /
+    pad codes contribute nothing to the crosstables) and the one-hot /
+    weights are sharded over ``"samples"`` — the alignment itself never
+    needs to fit one device.  Returns (data, statics-with-padded-S)."""
+    import dataclasses as _dc
+
+    st = engine.statics
+    _, n_samp = _mesh_shape(mesh)
+    data = engine.data
+    S_pad = -(-st.S // n_samp) * n_samp
+    if S_pad != st.S:
+        pad = S_pad - st.S
+        oh_pad = (
+            np.full((pad, data.onehot.shape[1]), 255, np.uint8)
+            if st.onehot_codes
+            else np.zeros((pad, data.onehot.shape[1]),
+                          np.asarray(data.onehot).dtype)
+        )
+        data = data._replace(
+            onehot=jnp.concatenate(
+                [data.onehot, jnp.asarray(oh_pad)], axis=0),
+            weights=jnp.concatenate(
+                [data.weights,
+                 jnp.zeros(pad, data.weights.dtype)], axis=0),
+        )
+        st = _dc.replace(st, S=S_pad)
+    shd = lambda x, spec: jax.device_put(
+        np.asarray(x), jax.sharding.NamedSharding(mesh, spec))
+    data = DeviceData(
+        onehot=shd(data.onehot, P("samples", None)),
+        weights=shd(data.weights, P("samples")),
+        presence=shd(data.presence, P()),
+        presence_wog=shd(data.presence_wog, P()),
+        gap=shd(data.gap, P()),
+        orig_pos=shd(data.orig_pos, P()),
+    )
+    return data, st
+
+
+class ShardedEngineView:
+    """Mesh-backed twins of the single-device engine's auxiliary
+    evaluators for 2-D (sample-sharded) meshes: pair MI (threshold
+    tournament), pair wog (lazy-wog resolution), and full-row buffers
+    (overflow re-extraction).  Each is a shard_map program whose
+    crosstables psum over ``"samples"`` — at scales where the alignment
+    cannot fit one device, these paths previously fell back to the
+    unsharded engine and would OOM (the round-2 caveat).
+
+    Duck-compatible with ``MIEngine`` where the tournament needs it
+    (``.L``, ``.pair_mi``) so ``determine_mi_threshold`` accepts it
+    directly."""
+
+    def __init__(self, engine: MIEngine, mesh: Mesh):
+        import dataclasses as _dc
+
+        from spydrpick_tpu.engine.solver import (
+            pairs_mi_core,
+            pairs_mi_dual_core,
+            row_full_core,
+        )
+
+        self.engine = engine
+        self.mesh = mesh
+        _, n_samp = _mesh_shape(mesh)
+        assert n_samp > 1, "use the engine directly on 1-D meshes"
+        self.data, self.st = shard_sample_data(engine, mesh)
+        self.L = engine.L
+        # local statics: S is the per-shard sample count; crosstables
+        # psum over the samples axis (solver.tile_mi_* / pairs_mi_*)
+        st_loc = _dc.replace(
+            self.st, S=self.st.S // n_samp, psum_axis="samples",
+            use_pallas=False,
+        )
+        self._st_loc = st_loc
+        data_specs = DeviceData(
+            onehot=P("samples", None), weights=P("samples"),
+            presence=P(), presence_wog=P(), gap=P(), orig_pos=P(),
+        )
+
+        def _wrap(core):
+            @jax.jit
+            @_smap(mesh=mesh, in_specs=(data_specs, P(), P()),
+                   out_specs=P())
+            def f(data, ipos, jpos):
+                return core(data, st_loc, ipos, jpos)
+
+            return f
+
+        self._pairs_mi = _wrap(pairs_mi_core)
+        self._pairs_dual = _wrap(pairs_mi_dual_core)
+        self._row_full_fns: dict[bool, object] = {}
+        self._row_full_core = row_full_core
+        self._data_specs = data_specs
+
+    def _chunked(self, fn, pick, ipos, jpos, chunk=8192):
+        """Chunk explicit pairs to one static shape; pipeline dispatches
+        before reads (same design as MIEngine.pair_mi)."""
+        P_ = len(ipos)
+        out = np.empty(P_, dtype=np.float64)
+        results = []
+        for c0 in range(0, P_, chunk):
+            ii = np.asarray(ipos[c0: c0 + chunk], dtype=np.int32)
+            jj = np.asarray(jpos[c0: c0 + chunk], dtype=np.int32)
+            n = len(ii)
+            if n < chunk:
+                ii = np.pad(ii, (0, chunk - n))
+                jj = np.pad(jj, (0, chunk - n))
+            res = pick(fn(self.data, jnp.asarray(ii), jnp.asarray(jj)))
+            res.copy_to_host_async()
+            results.append((c0, n, res))
+        for c0, n, res in results:
+            out[c0: c0 + n] = np.asarray(res)[:n]
+        return out
+
+    def pair_mi(self, ipos, jpos, chunk: int = 8192) -> np.ndarray:
+        return self._chunked(self._pairs_mi, lambda r: r, ipos, jpos, chunk)
+
+    def pair_wog(self, ipos, jpos, chunk: int = 8192) -> np.ndarray:
+        return self._chunked(self._pairs_dual, lambda r: r[1], ipos, jpos,
+                             chunk)
+
+    def row_full(self, i0: int, jc0: int | None = None):
+        """Replicated (T, W) dual MI/wog buffers + masks for one
+        block-row (or one j-window of it) — the sharded overflow
+        re-extraction path."""
+        windowed = jc0 is not None
+        if windowed not in self._row_full_fns:
+            core, st_loc = self._row_full_core, self._st_loc
+            mesh, data_specs = self.mesh, self._data_specs
+            if windowed:
+                @jax.jit
+                @_smap(mesh=mesh, in_specs=(data_specs, P(), P()),
+                       out_specs=(P(), P(), P(), P()))
+                def f(data, i0, jc0):
+                    return core(data, st_loc, i0, jc0=jc0)
+            else:
+                @jax.jit
+                @_smap(mesh=mesh, in_specs=(data_specs, P()),
+                       out_specs=(P(), P(), P(), P()))
+                def f(data, i0):
+                    return core(data, st_loc, i0)
+            self._row_full_fns[windowed] = f
+        f = self._row_full_fns[windowed]
+        args = (jnp.asarray(i0, jnp.int32),)
+        if windowed:
+            args += (jnp.asarray(jc0, jnp.int32),)
+        return f(self.data, *args)
+
+
 def balanced_row_order(n_rows: int) -> list[int]:
     """Interleave cheap and expensive rows: [0, R-1, 1, R-2, ...]."""
     order = []
@@ -254,6 +405,7 @@ def sharded_sweep(
     checkpoint_path: str | None = None,
     checkpoint_every: int = 16,
     timings: dict | None = None,
+    view: "ShardedEngineView | None" = None,
 ) -> EdgeSet:
     """Multi-device all-pairs sweep; results identical to
     ``MIEngine.sweep`` (shard-count invariance is tested — the analogue
@@ -264,11 +416,11 @@ def sharded_sweep(
     once at the end (and at checkpoints).  Safe for multi-process runs —
     no host access to non-addressable shards.
 
-    Caveat (2-D sample-sharded meshes): the per-row overflow
-    re-extraction and the threshold tournament run on the unsharded
-    single-device engine — at scales where the alignment itself cannot
-    fit one device, raise edge_capacity so rows do not overflow and
-    supply --mi-threshold explicitly.
+    On 2-D sample-sharded meshes the per-row overflow re-extraction and
+    the lazy-wog resolution run through :class:`ShardedEngineView` (psum
+    over the samples axis), so no path needs the full alignment on one
+    device; pass a prebuilt ``view`` to reuse its sharded tensors (the
+    pipeline builds one for the threshold tournament).
     """
     from spydrpick_tpu.engine import checkpoint as ckpt_mod
 
@@ -286,38 +438,9 @@ def sharded_sweep(
 
     data = engine.data
     if n_samp > 1:
-        # sample-sharded alignment: pad S to the shard count (zero
-        # weights / pad codes contribute nothing to the crosstables),
-        # then split the sample axis across the "samples" mesh axis
-        import dataclasses as _dc
-
-        S_pad = -(-st.S // n_samp) * n_samp
-        if S_pad != st.S:
-            pad = S_pad - st.S
-            oh_pad = (
-                np.full((pad, data.onehot.shape[1]), 255, np.uint8)
-                if st.onehot_codes
-                else np.zeros((pad, data.onehot.shape[1]),
-                              np.asarray(data.onehot).dtype)
-            )
-            data = data._replace(
-                onehot=jnp.concatenate(
-                    [data.onehot, jnp.asarray(oh_pad)], axis=0),
-                weights=jnp.concatenate(
-                    [data.weights,
-                     jnp.zeros(pad, data.weights.dtype)], axis=0),
-            )
-            st = _dc.replace(st, S=S_pad)
-        shd = lambda x, spec: jax.device_put(
-            np.asarray(x), jax.sharding.NamedSharding(mesh, spec))
-        data = DeviceData(
-            onehot=shd(data.onehot, P("samples", None)),
-            weights=shd(data.weights, P("samples")),
-            presence=shd(data.presence, P()),
-            presence_wog=shd(data.presence_wog, P()),
-            gap=shd(data.gap, P()),
-            orig_pos=shd(data.orig_pos, P()),
-        )
+        if view is None:
+            view = ShardedEngineView(engine, mesh)
+        data, st = view.data, view.st
     RW = st.row_window
     step = make_sharded_group_step(mesh, st, windowed=bool(RW))
 
@@ -571,13 +694,18 @@ def sharded_sweep(
         cand = s_m >= thr_out
         if cand.any():
             s_w = s_w.copy()
-            s_w[cand] = engine.pair_wog(s_i[cand], s_j[cand])
+            resolver = view.pair_wog if view is not None else engine.pair_wog
+            s_w[cand] = resolver(s_i[cand], s_j[cand])
 
     t_overflow0 = time.perf_counter()
     if overflow_items:
         for i0, jc0 in overflow_items:
-            # replicated re-extraction: identical on every process
-            if jc0 is None:
+            # replicated re-extraction: identical on every process; on
+            # 2-D meshes it runs sharded (the alignment may not fit one
+            # device)
+            if view is not None:
+                bufs = view.row_full(i0, jc0)
+            elif jc0 is None:
                 bufs = engine._row_full(
                     engine.data, i0=jnp.asarray(i0, jnp.int32))
             else:

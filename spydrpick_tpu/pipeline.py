@@ -226,13 +226,36 @@ def run_pipeline(opts: PipelineOptions, write_outputs: bool = True) -> PipelineR
     )
     engine = MIEngine(alignment, config)
 
+    # 2-D sample-sharded runs: build the mesh + sharded view up front so
+    # the threshold tournament and the sweep's auxiliary paths (lazy-wog
+    # resolution, overflow re-extraction) all run with the alignment
+    # sharded over the samples axis — at the scales that mode exists
+    # for, the unsharded pairs kernel cannot hold the alignment on one
+    # device
+    mesh = None
+    view = None
+    if opts.sharded and opts.sample_shards > 1:
+        import jax
+
+        if len(jax.devices()) > 1:
+            from spydrpick_tpu.parallel.mesh import (
+                ShardedEngineView,
+                make_mesh,
+            )
+
+            mesh = make_mesh(
+                len(jax.devices()) // opts.sample_shards,
+                n_samples=opts.sample_shards,
+            )
+            view = ShardedEngineView(engine, mesh)
+
     # --- MI save threshold (SpydrPick.cpp:336-364) ---
     mi_threshold = opts.mi_threshold
     if mi_threshold < 0:
         top_pairs = default_mi_values(alignment.n_loci, opts.mi_values)
         _log(opts, f"determine MI threshold for saving approx. {top_pairs} top pairs")
         mi_threshold = determine_mi_threshold(
-            engine,
+            view if view is not None else engine,
             top_pairs,
             threshold_pairs=opts.mi_threshold_pairs,
             iterations=opts.mi_threshold_iterations,
@@ -253,22 +276,15 @@ def run_pipeline(opts: PipelineOptions, write_outputs: bool = True) -> PipelineR
         if opts.sharded:
             import jax
 
-            from spydrpick_tpu.parallel.mesh import make_mesh, sharded_sweep
+            from spydrpick_tpu.parallel.mesh import sharded_sweep
 
             if len(jax.devices()) > 1:
-                mesh = None
-                if opts.sample_shards > 1:
-                    # 2-D (rows x samples) mesh: the alignment is
-                    # sharded over the samples axis (see parallel/mesh)
-                    mesh = make_mesh(
-                        len(jax.devices()) // opts.sample_shards,
-                        n_samples=opts.sample_shards,
-                    )
                 edges = sharded_sweep(
                     engine, mi_threshold, mesh,
                     progress=progress if opts.verbose else None,
                     checkpoint_path=opts.checkpoint,
                     checkpoint_every=opts.checkpoint_every,
+                    view=view,
                 )
             else:
                 _log(opts, "only one device visible; using single-device sweep")

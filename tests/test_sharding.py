@@ -201,3 +201,70 @@ def test_sharded_row_window_overflow_and_epochs():
     np.testing.assert_array_equal(sj, mj)
     np.testing.assert_allclose(sm, mm, rtol=1e-6)
     np.testing.assert_allclose(sw, mw, rtol=1e-6)
+
+
+def test_sharded_view_pair_mi_matches_engine():
+    """ShardedEngineView's psum pairs kernel == the single-device pairs
+    kernel: the threshold tournament may run on either."""
+    from spydrpick_tpu.parallel.mesh import ShardedEngineView
+
+    al = random_alignment(n_samples=45, n_loci=80, seed=60, gap_frac=0.15)
+    eng = MIEngine(al, EngineConfig(tile=16))
+    view = ShardedEngineView(eng, make_mesh(2, n_samples=4))
+    rng = np.random.default_rng(0)
+    ii = rng.integers(0, 80, size=500)
+    jj = (ii + 1 + rng.integers(0, 78, size=500)) % 80
+    np.testing.assert_allclose(
+        eng.pair_mi(ii, jj), view.pair_mi(ii, jj), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        eng.pair_wog(ii, jj), view.pair_wog(ii, jj), rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_view_tournament_matches():
+    """determine_mi_threshold accepts the view (duck-typed engine) and
+    agrees with the unsharded tournament up to psum accumulation order."""
+    from spydrpick_tpu.engine.threshold import determine_mi_threshold
+    from spydrpick_tpu.parallel.mesh import ShardedEngineView
+
+    al = random_alignment(n_samples=40, n_loci=150, seed=61, gap_frac=0.1)
+    eng = MIEngine(al, EngineConfig(tile=16))
+    view = ShardedEngineView(eng, make_mesh(2, n_samples=4))
+    t_ref = determine_mi_threshold(eng, 500, threshold_pairs=1000,
+                                   iterations=3, seed=5)
+    t_view = determine_mi_threshold(view, 500, threshold_pairs=1000,
+                                    iterations=3, seed=5)
+    np.testing.assert_allclose(t_ref, t_view, rtol=1e-4, atol=1e-6)
+
+
+def test_sample_sharded_overflow_reextraction():
+    """Per-item overflow on a 2-D mesh re-extracts through the sharded
+    view (previously caveated to the unsharded engine)."""
+    al = random_alignment(n_samples=45, n_loci=96, seed=62, gap_frac=0.1)
+    ref = MIEngine(al, EngineConfig(tile=8)).sweep(-1.0)
+    eng = MIEngine(al, EngineConfig(tile=8, edge_capacity=128))
+    timings: dict = {}
+    sharded = sharded_sweep(eng, -1.0, make_mesh(2, n_samples=4),
+                            timings=timings)
+    assert timings["overflow_rows"] > 0
+    assert sharded.n_edges == 96 * 95 // 2
+    si, sj, sm, sw = _key(ref)
+    mi_, mj, mm, mw = _key(sharded)
+    np.testing.assert_array_equal(si, mi_)
+    np.testing.assert_array_equal(sj, mj)
+    np.testing.assert_allclose(sm, mm, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(sw, mw, rtol=1e-4, atol=1e-6)
+
+
+def test_sample_sharded_windowed_matches():
+    """2-D mesh + j-windowed rows: the full wide-alignment recipe
+    (samples sharded, rows meshed, windows streamed) in one run."""
+    al = random_alignment(n_samples=45, n_loci=120, seed=63, gap_frac=0.1)
+    ref = MIEngine(al, EngineConfig(tile=8, row_window=1)).sweep(0.02)
+    eng = MIEngine(al, EngineConfig(tile=8, row_window=32))
+    sharded = sharded_sweep(eng, 0.02, make_mesh(2, n_samples=4))
+    si, sj, sm, sw = _key(ref)
+    mi_, mj, mm, mw = _key(sharded)
+    np.testing.assert_array_equal(si, mi_)
+    np.testing.assert_array_equal(sj, mj)
+    np.testing.assert_allclose(sm, mm, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(sw, mw, rtol=1e-4, atol=1e-6)
