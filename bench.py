@@ -7,7 +7,8 @@ Config: the BASELINE.md "medium" shape (~3k samples x ~30k filtered
 columns), overridable via BENCH_SAMPLES / BENCH_LOCI / BENCH_TILE.
 Further knobs: BENCH_ROWS (rows/dispatch), BENCH_DEPTH (counts-sync
 pipeline depth), BENCH_ONEHOT (dense|codes), BENCH_WOG_FETCH,
-BENCH_PALLAS_COMPACT; engine env: SPYDRPICK_PALLAS_ROUTE=1 (VMEM
+BENCH_PALLAS_COMPACT, BENCH_ROW_WINDOW (j-window width; 0 = auto);
+engine env: SPYDRPICK_PALLAS_ROUTE=1 (VMEM
 routing kernel, opt-in until hardware-validated), SPYDRPICK_PALLAS_BJ.
 The metric is column-pairs/s through the REAL production sweep
 (crosstable matmuls + dual-variant entropy + colmax + on-device edge
@@ -172,6 +173,7 @@ def main():
                      rows_per_dispatch=rows_per_dispatch,
                      pipeline_depth=int(os.environ.get("BENCH_DEPTH", 1)),
                      onehot_storage=os.environ.get("BENCH_ONEHOT", "auto"),
+                     row_window=int(os.environ.get("BENCH_ROW_WINDOW", 0)),
                      wog_fetch=os.environ.get("BENCH_WOG_FETCH", "outliers")),
     )
     print("# engine ready", flush=True)

@@ -26,4 +26,11 @@ BENCH_UNIT_WEIGHTS=1 BENCH_LOCI=8192 BENCH_STALL=600 timeout 1800 python bench.p
 echo "=== F: plain default bench (driver conditions) ==="
 BENCH_STALL=600 timeout 2400 python bench.py || true
 
+echo "=== G: j-windowed sweep at 100k (vs 122.3M full-width) ==="
+BENCH_LOCI=99840 BENCH_ROW_WINDOW=32768 BENCH_STALL=900 \
+  timeout 3600 python bench.py || true
+
+echo "=== H: 200k columns (auto j-window; first run past the old width limit) ==="
+BENCH_LOCI=199680 BENCH_STALL=1200 timeout 5400 python bench.py || true
+
 echo "=== chain done ==="
