@@ -102,9 +102,14 @@ def route_rows_pallas(mask, mi, wog=None,
     rs = _route_shift(mask)
     counts = mask.sum(axis=1, dtype=jnp.int32)
 
-    # block rows so ~6 live (BR, W) arrays + pipeline buffers fit VMEM
+    # block rows sized to VMEM: with wog there are 6 I/O windows, each
+    # double-buffered (12x br*W*4 B), plus ~5 in-kernel live arrays
+    # (rs/mi/jidx/wog + one rolled copy) -> ~17x br*W*4 B total; capping
+    # br*W at 2^20 elements keeps that ~72 MB (v5e VMEM is 128 MB, and
+    # br*W = 2^21 OOM'd at W=30720 with "output window 15.00M x2
+    # buffering" scoped allocations)
     br = 8
-    while br * 2 <= min(R, 256) and R % (br * 2) == 0 and (br * 2) * W <= (2 << 20):
+    while br * 2 <= min(R, 256) and R % (br * 2) == 0 and (br * 2) * W <= (1 << 20):
         br *= 2
 
     with_wog = wog is not None
