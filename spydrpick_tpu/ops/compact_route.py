@@ -206,13 +206,13 @@ def compact_edges_route(mi_buf, wog_buf, store_mask, i0, K: int, LN: int = 128,
 
     wd = mi_buf.dtype  # f32, or f64 in x64 oracle-test mode
     if pallas_route is None:
-        # opt-in until hardware-validated (parity is interpret-tested;
-        # a Mosaic rejection at compile time would kill a whole run):
-        # SPYDRPICK_PALLAS_ROUTE=1 enables it on TPU, =force also in
-        # interpret mode (integration tests)
+        # Hardware-validated (v5e: full-width parity + canary-exact
+        # bench, 2.3x sweep throughput) -> default ON for TPU.
+        # SPYDRPICK_PALLAS_ROUTE=0 opts out; =force also enables the
+        # interpret-mode kernel off-TPU (integration tests).
         import os
 
-        flag = os.environ.get("SPYDRPICK_PALLAS_ROUTE", "0")
+        flag = os.environ.get("SPYDRPICK_PALLAS_ROUTE", "1")
         pallas_route = (
             (flag == "force"
              or (flag == "1" and jax.default_backend() == "tpu"))
