@@ -80,9 +80,10 @@ class EngineConfig:
     # TPU when the tile is a multiple of its 128-column block
     use_pallas: str = "auto"   # "auto" | "on" | "off"
     # edge-compaction path: "route" (ops/compact_route.py, exact
-    # scatter-free roll-routing — the fast path on TPU and the default),
-    # "on"/"pallas" (ops/compact_pallas.py), "off"/"xla" (cumsum+
-    # scatter).  "auto" = route.
+    # scatter-free roll-routing — the fast path on TPU and the default)
+    # or "off"/"xla" (cumsum+scatter).  "auto"/"on"/"pallas" = route
+    # (the round-1 streaming-Pallas compaction was superseded by the
+    # route kernel and removed; its aliases map to route for compat).
     use_pallas_compact: str = "auto"
     # drain policy for the gaps-excluded MI variant ("full" fetches the
     # whole wog store alongside mi; "outliers" leaves it on device and
@@ -140,7 +141,7 @@ class SweepStatics:
     compute_dtype: str
     matmul_precision: str = "highest"
     use_pallas: bool = False
-    compaction: str = "xla"  # "xla" | "pallas" | "route"
+    compaction: str = "xla"  # "xla" | "route"
     # lazy-wog mode (wog_fetch="outliers"): the hot sweep computes and
     # stores only mi; the gaps-excluded variant is recomputed post-hoc
     # for outlier-candidate edges via the pairs kernel — the reference
@@ -528,22 +529,6 @@ def row_sweep_core(data: DeviceData, st: SweepStatics, i0, threshold,
         return (colmax_i, colmax_j, vals.astype(mi_buf.dtype),
                 wogs.astype(mi_buf.dtype), ipos, jpos, count, lines)
 
-    if st.compaction == "pallas":
-        # streaming Pallas compaction (superseded by "route": its dense
-        # repack phase is an element gather, ~100 ms/row on hardware)
-        assert not windowed, "pallas compaction has no windowed mode"
-        from spydrpick_tpu.ops.compact_pallas import compact_edges_pallas
-
-        vals, wogs, ipos, jpos, count = compact_edges_pallas(
-            mi_buf, mi_buf if wog_buf is None else wog_buf,
-            i0, threshold, st.L, K
-        )
-        if wog_buf is None:
-            wogs = jnp.zeros_like(vals)
-        lines = (jnp.minimum(count, K) + LN - 1) // LN
-        return (colmax_i, colmax_j, vals.astype(mi_buf.dtype),
-                wogs.astype(mi_buf.dtype), ipos, jpos, count, lines)
-
     store = store_base & (mi_buf > threshold)
     flat_mask = store.reshape(-1)
     pos = jnp.cumsum(flat_mask.astype(jnp.int32))
@@ -796,12 +781,10 @@ def build_device_data(alignment: Alignment, config: EngineConfig) -> tuple[Devic
             and cdtype == jnp.float32
         )
     compaction = {
-        "on": "pallas", "pallas": "pallas",
+        "on": "route", "pallas": "route",  # legacy aliases (kernel removed)
         "off": "xla", "xla": "xla",
         "route": "route", "auto": "route",
     }[config.use_pallas_compact]
-    if rw and compaction == "pallas":
-        compaction = "route"  # the legacy kernel has no windowed mode
     n_samples = S
     # sample-block size: biggest swept block whose zero-row padding
     # stays under ~15% (scripts/perf_kernel_sweep.py: 768 ~20% faster

@@ -37,6 +37,31 @@ import jax
 import jax.numpy as jnp
 
 
+def _vmem_budget_bytes() -> int:
+    """Per-core VMEM of the default backend's devices.
+
+    The routing kernel's block cap was tuned/validated on v5e (128 MB
+    VMEM); on 16 MB-VMEM generations (v2/v3) the same block would fail
+    Mosaic compilation or OOM, so the cap — and the default-on gate in
+    :func:`compact_edges_route` — scales with this budget."""
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:  # pragma: no cover - no devices (doc builds etc.)
+        return 128 * 1024 * 1024
+    if "v2" in kind or "v3" in kind:
+        return 16 * 1024 * 1024
+    return 128 * 1024 * 1024
+
+
+def _route_block_cap_elems() -> int:
+    """Largest safe br*W block (elements) for route_rows_pallas.
+
+    2^20 elements was hardware-validated against a 128 MB-VMEM part
+    (~72 MB of scoped allocations incl. double buffering — see the
+    comment in route_rows_pallas); scale linearly with smaller VMEM."""
+    return min(1 << 20, _vmem_budget_bytes() // 128)
+
+
 def _route_shift(mask: jnp.ndarray) -> jnp.ndarray:
     """(R, N) routing state: left-shift distance for surviving lanes
     (count of dropped predecessors), 0 for dead lanes (never move)."""
@@ -98,6 +123,16 @@ def route_rows_pallas(mask, mi, wog=None,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     R, W = mask.shape
+    cap = _route_block_cap_elems()
+    if 8 * W > cap and not interpret:
+        # even the minimum 8-row block would exceed the validated VMEM
+        # budget; callers (compact_edges_route) gate on this same cap
+        # and fall back to the XLA route before getting here
+        raise ValueError(
+            f"route_rows_pallas: width {W} needs {8 * W} block elements "
+            f"> VMEM-safe cap {cap}; use route_rows (XLA) or window the "
+            "row (engine row_window auto-windows past 2^17 columns)"
+        )
     bits = int(W - 1).bit_length()
     rs = _route_shift(mask)
     counts = mask.sum(axis=1, dtype=jnp.int32)
@@ -107,9 +142,10 @@ def route_rows_pallas(mask, mi, wog=None,
     # (rs/mi/jidx/wog + one rolled copy) -> ~17x br*W*4 B total; capping
     # br*W at 2^20 elements keeps that ~72 MB (v5e VMEM is 128 MB, and
     # br*W = 2^21 OOM'd at W=30720 with "output window 15.00M x2
-    # buffering" scoped allocations)
+    # buffering" scoped allocations); the cap scales down with the
+    # device's VMEM (_route_block_cap_elems)
     br = 8
-    while br * 2 <= min(R, 256) and R % (br * 2) == 0 and (br * 2) * W <= (1 << 20):
+    while br * 2 <= min(R, 256) and R % (br * 2) == 0 and (br * 2) * W <= cap:
         br *= 2
 
     with_wog = wog is not None
@@ -128,7 +164,8 @@ def route_rows_pallas(mask, mi, wog=None,
         out_specs=[spec] * len(outs),
         out_shape=outs,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=min(100 * 1024 * 1024,
+                                 int(0.8 * _vmem_budget_bytes())),
         ),
         interpret=interpret,
     )(*((rs, mi, wog) if with_wog else (rs, mi)))
@@ -218,6 +255,10 @@ def compact_edges_route(mi_buf, wog_buf, store_mask, i0, K: int, LN: int = 128,
              or (flag == "1" and jax.default_backend() == "tpu"))
             and wd == jnp.float32
             and T % 8 == 0 and Lp % 128 == 0
+            # width gate: the minimum 8-row block must fit the device's
+            # VMEM-scaled cap (small-VMEM parts / ultra-wide callers
+            # fall back to the XLA route instead of failing Mosaic)
+            and (flag == "force" or 8 * Lp <= _route_block_cap_elems())
         )
     if pallas_route:
         # VMEM-resident routing rounds (HBM reads each array once vs

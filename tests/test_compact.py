@@ -1,84 +1,7 @@
-"""Unit tests for the edge-compaction paths.
-
-The round-1 regression being locked down: the Pallas compaction used to
-return the 128-aligned staging extent as the edge count, so at ~1 edge
-per chunk-row every block-row looked overflowed (count ~100x reality)
-and the sweep silently degraded to full-row host re-extraction.  The
-repacked kernel must return a TRUE count and a dense edge window.
-"""
+"""Unit tests for the edge-compaction paths (roll-routing vs XLA)."""
 
 import numpy as np
 import pytest
-
-from spydrpick_tpu.ops.compact_pallas import compact_edges_pallas
-
-
-def _reference(mi, wog, i0, threshold, L):
-    T, Lp = mi.shape
-    jg, ig = np.meshgrid(np.arange(Lp), i0 + np.arange(T))
-    mask = (mi > threshold) & (jg > ig) & (jg < L) & (ig < L)
-    ii, jj = np.nonzero(mask)
-    return mi[mask], wog[mask], (i0 + ii).astype(np.int64), jj.astype(np.int64)
-
-
-@pytest.mark.parametrize("density", [0.0, 0.001, 0.05, 0.5])
-def test_repack_true_count_and_dense_edges(density):
-    rng = np.random.default_rng(int(density * 1000) + 7)
-    T, Lp, L, i0 = 16, 1024, 1000, 0
-    mi = rng.random((T, Lp)).astype(np.float32)
-    wog = (mi * 0.5).astype(np.float32)
-    threshold = np.float32(1.0 - density)
-    K = 1 << 14
-
-    vals, wogs, ipos, jpos, count = map(
-        np.asarray,
-        compact_edges_pallas(mi, wog, i0, threshold, L, K, interpret=True),
-    )
-    rm, rw, ri, rj = _reference(mi, wog, i0, threshold, L)
-    assert int(count) == len(rm)
-    n = int(count)
-    # dense: the first `count` slots are exactly the edges (row-major
-    # order within a chunk; chunks in row-major order) — sort both sides
-    got = sorted(zip(ipos[:n], jpos[:n], vals[:n], wogs[:n]))
-    exp = sorted(zip(ri, rj, rm, rw))
-    for g, e in zip(got, exp):
-        assert g[0] == e[0] and g[1] == e[1]
-        assert abs(g[2] - e[2]) < 2e-6 and abs(g[3] - e[3]) < 2e-6
-    # no stray entries past the count
-    assert np.all(vals[n:] == 0.0) and np.all(jpos[n:] == 0)
-
-
-def test_repack_count_exceeding_capacity_reports_overflow():
-    rng = np.random.default_rng(3)
-    T, Lp, K = 16, 1024, 256
-    mi = rng.random((T, Lp)).astype(np.float32)
-    wog = mi.copy()
-    # ~10% density: extent fits the staging buffer but count >> K
-    vals, wogs, ipos, jpos, count = map(
-        np.asarray,
-        compact_edges_pallas(mi, wog, 0, np.float32(0.9), Lp, K, interpret=True),
-    )
-    rm, _, _, _ = _reference(mi, wog, 0, 0.9, Lp)
-    assert int(count) == len(rm) > K  # true count signals overflow
-    # the window still holds valid leading edges
-    assert np.all(jpos[: K] > ipos[: K]) or np.all(vals == 0)
-
-
-def test_repack_poisons_when_staging_buffer_clamps():
-    rng = np.random.default_rng(4)
-    T, Lp, K = 16, 1024, 256
-    mi = rng.random((T, Lp)).astype(np.float32)
-    wog = mi.copy()
-    # full density: aligned extent exceeds the staging buffer sized for
-    # K=256 -> the row must be poisoned (count > K, outputs zeroed) so
-    # the caller's overflow path re-extracts it on the host
-    vals, wogs, ipos, jpos, count = map(
-        np.asarray,
-        compact_edges_pallas(mi, wog, 0, np.float32(-1.0), Lp, K, interpret=True),
-    )
-    assert int(count) > K
-    if int(count) == 1 << 30:  # poisoned: nothing may masquerade as an edge
-        assert np.all(vals == 0) and np.all(jpos == 0)
 
 
 @pytest.mark.parametrize("with_wog", [False, True])
@@ -103,6 +26,27 @@ def test_route_pallas_matches_xla(density, with_wog):
                                  "lines")):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
                                       err_msg=name)
+
+
+def test_route_pallas_vmem_width_guard(monkeypatch):
+    """Widths whose minimum 8-row block exceeds the device's VMEM-scaled
+    cap must (a) raise from a direct route_rows_pallas call and (b) be
+    gated OUT of the default-on path in compact_edges_route."""
+    import jax.numpy as jnp
+    from spydrpick_tpu.ops import compact_route as cr
+
+    monkeypatch.setattr(cr, "_route_block_cap_elems", lambda: 8 * 1024)
+    mask = jnp.zeros((8, 2048), bool)
+    mi = jnp.zeros((8, 2048), jnp.float32)
+    with pytest.raises(ValueError, match="VMEM-safe cap"):
+        cr.route_rows_pallas(mask, mi, interpret=False)
+    # default gating falls back to the XLA route instead of raising
+    monkeypatch.setenv("SPYDRPICK_PALLAS_ROUTE", "1")
+    monkeypatch.setattr(cr.jax, "default_backend", lambda: "tpu")
+    vals, wogs, ipos, jpos, count, lines = cr.compact_edges_route(
+        mi, None, mask, 0, 2048
+    )
+    assert int(count) == 0  # reached the XLA path and compacted nothing
 
 
 def test_route_pallas_integrated_sweep(monkeypatch):
