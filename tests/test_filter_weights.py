@@ -78,6 +78,24 @@ def test_hamming_matrix():
     np.testing.assert_array_equal(d, ref)
 
 
+def test_match_counts_streaming_path_parity(monkeypatch):
+    """The host-streaming path (codes too large for device residency)
+    must equal the device-resident path exactly, including multi-tile
+    splits and pad columns."""
+    from spydrpick_tpu.core import weights as W
+
+    al = random_alignment(24, 300, seed=9, gap_frac=0.2)
+    resident = W.sample_match_counts(al, tile=128)  # 3 tiles, 84 pad cols
+    monkeypatch.setattr(W, "_DEVICE_RESIDENT_BYTES", 0)
+    streamed = W.sample_match_counts(al, tile=128)
+    np.testing.assert_array_equal(resident, streamed)
+    ref = np.array(
+        [[np.sum(a == b) for b in al.codes] for a in al.codes],
+        dtype=np.float32,
+    )
+    np.testing.assert_array_equal(resident, ref)
+
+
 def test_weights_count_gap_as_state():
     # gap==gap counts as identity (5-state Hamming)
     codes = np.array([[4, 4, 0, 1], [4, 4, 0, 1]], dtype=np.uint8)
