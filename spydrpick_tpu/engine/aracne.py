@@ -36,6 +36,7 @@ wall-time; the graph here is <= ~1e7 edges.
 from __future__ import annotations
 
 import os
+import time
 
 import numpy as np
 
@@ -62,20 +63,27 @@ def aracne_mark_indirect(
     jpos: np.ndarray,
     mi: np.ndarray,
     threshold: float = DEFAULT_EDGE_THRESHOLD,
+    timings: dict | None = None,
 ) -> np.ndarray:
     """(E,) bool: True where the edge is INDIRECT (to be pruned).
 
     Positions may be arbitrary node ids; they are densified internally
     (reference remap_and_initialize, ARACNE.hpp:50-88).
+    ``timings`` (optional dict) receives per-stage wall seconds —
+    remap_s / adjacency_s / process_s — the analogue of the reference's
+    per-stage read/sort/process debug timers (ARACNE.hpp:499-523).
     """
     E = len(mi)
     if E == 0:
         return np.zeros(0, dtype=bool)
+    t0 = time.perf_counter()
     nodes, inv = np.unique(np.concatenate([ipos, jpos]), return_inverse=True)
     a = inv[:E]
     b = inv[E:]
     n_nodes = len(nodes)
+    t1 = time.perf_counter()
     indptr, nbr, eid = _csr_adjacency(a, b, n_nodes)
+    t2 = time.perf_counter()
     w = np.asarray(mi, dtype=np.float64)
     margin = w + max(threshold, 0.0)
 
@@ -133,6 +141,12 @@ def aracne_mark_indirect(
         workers = min(len(spans), os.cpu_count() or 1)
         with ThreadPoolExecutor(workers) as ex:
             list(ex.map(lambda s: _chunk(*s), spans))
+    if timings is not None:
+        timings["remap_s"] = t1 - t0
+        timings["adjacency_s"] = t2 - t1
+        timings["process_s"] = time.perf_counter() - t2
+        timings["nodes"] = int(n_nodes)
+        timings["chunks"] = len(spans)
     return indirect
 
 
@@ -142,17 +156,43 @@ def run_aracne(
     mi: np.ndarray,
     threshold: float = DEFAULT_EDGE_THRESHOLD,
     use_native: bool = True,
+    timings: dict | None = None,
+    verbose_out=None,
 ) -> np.ndarray:
     """(E,) uint8 ARACNE flags: 1 = direct survivor, 0 = indirect.
 
     Entry point mirroring ``aracne::run_ARACNE`` (ARACNE.hpp:550-555).
+    ``timings``/``verbose_out`` expose per-stage wall times, mirroring
+    the reference's per-stage debug prints (ARACNE.hpp:499-523) —
+    at the 1e7-edge default this stage is ~30 s of otherwise-opaque
+    wall time on a small host.
     """
+    t = timings if timings is not None else {}
     if use_native:
         try:
             from spydrpick_tpu.native import aracne_native
 
+            t0 = time.perf_counter()
             ind = aracne_native.mark_indirect(ipos, jpos, mi, threshold)
+            t["native_s"] = time.perf_counter() - t0
+            t["edges"] = len(mi)
+            if verbose_out is not None:
+                print(f"ARACNE: {len(mi)} edges processed in "
+                      f"{t['native_s']:.2f}s (native kernel)",
+                      file=verbose_out, flush=True)
             return (~ind).astype(np.uint8)
         except Exception:
             pass  # fall back to NumPy
-    return (~aracne_mark_indirect(ipos, jpos, mi, threshold)).astype(np.uint8)
+    flags = (~aracne_mark_indirect(ipos, jpos, mi, threshold,
+                                   timings=t)).astype(np.uint8)
+    t["edges"] = len(mi)
+    if verbose_out is not None and len(mi):
+        print(
+            f"ARACNE: {len(mi)} edges / {t.get('nodes', 0)} nodes; "
+            f"remap {t.get('remap_s', 0.0):.2f}s, "
+            f"adjacency {t.get('adjacency_s', 0.0):.2f}s, "
+            f"process {t.get('process_s', 0.0):.2f}s "
+            f"({t.get('chunks', 1)} chunks)",
+            file=verbose_out, flush=True,
+        )
+    return flags

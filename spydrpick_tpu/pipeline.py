@@ -195,12 +195,28 @@ def load_and_preprocess(opts: PipelineOptions) -> Alignment:
     return alignment
 
 
-def run_pipeline(opts: PipelineOptions, write_outputs: bool = True) -> PipelineResult:
+def run_pipeline(opts: PipelineOptions, write_outputs: bool = True,
+                 timings: dict | None = None) -> PipelineResult:
+    """``timings`` (optional dict) receives per-stage wall seconds —
+    preprocess/threshold/sweep/aracne/write — mirroring the reference
+    driver's per-stage cputimer prints (src/SpydrPick.cpp:157-161,421);
+    the sweep entry nests the engine's itemised phases."""
     import os
+    import time as _time
 
     os.makedirs(opts.output_dir, exist_ok=True)
+    tm = timings if timings is not None else {}
+
+    def _stage(name: str, t0: float) -> float:
+        t1 = _time.perf_counter()
+        tm[name] = t1 - t0
+        _log(opts, f"stage time: {name} {tm[name]:.2f}s")
+        return t1
+
     timer = Stopwatch(sys.stdout if opts.verbose else None).start()
+    t_st = _time.perf_counter()
     alignment = load_and_preprocess(opts)
+    t_st = _stage("preprocess_s", t_st)
 
     config = EngineConfig(
         tile=opts.tile,
@@ -225,6 +241,7 @@ def run_pipeline(opts: PipelineOptions, write_outputs: bool = True) -> PipelineR
         verbose=opts.verbose,
     )
     engine = MIEngine(alignment, config)
+    t_st = _stage("engine_build_s", t_st)
 
     # 2-D sample-sharded runs: build the mesh + sharded view up front so
     # the threshold tournament and the sweep's auxiliary paths (lazy-wog
@@ -265,6 +282,7 @@ def run_pipeline(opts: PipelineOptions, write_outputs: bool = True) -> PipelineR
         _log(opts, f"MI save threshold = {mi_threshold:.6f}")
     else:
         _log(opts, f"user-defined MI save threshold = {mi_threshold:.6f}")
+    t_st = _stage("threshold_s", t_st)
 
     # --- all-pairs sweep (SpydrPick.cpp:384, SpydrPick.hpp:132-168) ---
     def progress(lo, hi, n_new, dt):
@@ -272,6 +290,7 @@ def run_pipeline(opts: PipelineOptions, write_outputs: bool = True) -> PipelineR
 
     from spydrpick_tpu.utils.profiling import profile_trace
 
+    sweep_phases: dict = {}
     with profile_trace(opts.profile_dir):
         if opts.sharded:
             import jax
@@ -285,6 +304,7 @@ def run_pipeline(opts: PipelineOptions, write_outputs: bool = True) -> PipelineR
                     checkpoint_path=opts.checkpoint,
                     checkpoint_every=opts.checkpoint_every,
                     view=view,
+                    timings=sweep_phases,
                 )
             else:
                 _log(opts, "only one device visible; using single-device sweep")
@@ -295,7 +315,10 @@ def run_pipeline(opts: PipelineOptions, write_outputs: bool = True) -> PipelineR
                 progress=progress if opts.verbose else None,
                 checkpoint_path=opts.checkpoint,
                 checkpoint_every=opts.checkpoint_every,
+                timings=sweep_phases,
             )
+    tm["sweep_phases"] = sweep_phases
+    t_st = _stage("sweep_s", t_st)
     _log(opts, f"{edges.n_edges} edges stored")
 
     outlier_thr, extreme_thr = outlier_thresholds(edges.colmax)
@@ -303,13 +326,21 @@ def run_pipeline(opts: PipelineOptions, write_outputs: bool = True) -> PipelineR
     _log(opts, f"extreme outlier threshold={extreme_thr:.6f}")
 
     edges = edges.sort_desc()
+    t_st = _stage("sort_s", t_st)
 
     # --- ARACNE (SpydrPick.cpp:406-421) ---
     if not opts.no_aracne and edges.n_edges:
         _log(opts, "run ARACNE")
-        flags = run_aracne(edges.ipos, edges.jpos, edges.mi, opts.aracne_edge_threshold)
+        aracne_t: dict = {}
+        flags = run_aracne(
+            edges.ipos, edges.jpos, edges.mi, opts.aracne_edge_threshold,
+            timings=aracne_t,
+            verbose_out=sys.stdout if opts.verbose else None,
+        )
+        tm["aracne_phases"] = aracne_t
     else:
         flags = np.zeros(edges.n_edges, dtype=np.uint8)  # all-zero flag column
+    t_st = _stage("aracne_s", t_st)
 
     result = PipelineResult(
         alignment=alignment,
@@ -322,8 +353,9 @@ def run_pipeline(opts: PipelineOptions, write_outputs: bool = True) -> PipelineR
 
     if write_outputs:
         _write_outputs(opts, result)
+        _stage("write_s", t_st)
 
-    timer.stop()
+    tm["total_s"] = timer.stop()
     _log(opts, f"analysis completed in {timer}")
     return result
 

@@ -49,6 +49,24 @@ def test_pipeline_end_to_end(fasta_path, tmp_path):
         assert len(olines[0].split()) == 8
 
 
+def test_pipeline_stage_timings(fasta_path, tmp_path):
+    """run_pipeline fills per-stage wall times (the reference driver's
+    cputimer prints, SpydrPick.cpp:157-161) incl. nested sweep phases
+    and ARACNE stage times (ARACNE.hpp:499-523)."""
+    tm: dict = {}
+    opts = PipelineOptions(
+        alignmentfile=str(fasta_path), mi_threshold=0.05,
+        output_dir=str(tmp_path), seed=3,
+    )
+    run_pipeline(opts, timings=tm)
+    for k in ("preprocess_s", "engine_build_s", "threshold_s", "sweep_s",
+              "sort_s", "aracne_s", "write_s", "total_s"):
+        assert k in tm and tm[k] >= 0, k
+    assert "compute_s" in tm["sweep_phases"]
+    assert tm["aracne_phases"]["edges"] > 0
+    assert tm["total_s"] >= tm["sweep_s"]
+
+
 def test_pipeline_auto_threshold_small(fasta_path, tmp_path):
     opts = PipelineOptions(
         alignmentfile=str(fasta_path),
