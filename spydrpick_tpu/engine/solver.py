@@ -392,6 +392,41 @@ def row_buffers(data: DeviceData, st: SweepStatics, i0,
 
             ipf = jax.lax.dynamic_slice_in_dim(data.presence, i0, T, 0).reshape(-1)
             jpf = jax.lax.dynamic_slice_in_dim(data.presence, j0, T, 0).reshape(-1)
+            if st.psum_axis:
+                # sample-sharded Pallas path: the fused kernel cannot
+                # hold a cross-device collective mid-kernel, so the
+                # crosstable materialises (same matmul passes), psums
+                # over the mesh axis, and a second kernel runs the
+                # entropy epilogue (the round-2 gap: 2-D meshes used to
+                # force the slower XLA tile path)
+                from spydrpick_tpu.ops.mi_pallas import (
+                    crosstab_tile_pallas,
+                    mi_epilogue_pallas,
+                )
+
+                C = crosstab_tile_pallas(
+                    xi_hi, xi_lo, xj.astype(jnp.bfloat16),
+                    bs=st.pallas_bs, bi=st.pallas_bi, bj=st.pallas_bj,
+                )
+                C = jax.lax.psum(C, st.psum_axis)
+                if not dual:
+                    mi = mi_epilogue_pallas(
+                        C, ipf.astype(jnp.float32), jpf.astype(jnp.float32),
+                        pseudocount=st.pseudocount,
+                        bi=st.pallas_bi, bj=st.pallas_bj,
+                    )
+                    return mi, None
+                ipwf = jax.lax.dynamic_slice_in_dim(
+                    data.presence_wog, i0, T, 0).reshape(-1)
+                jpwf = jax.lax.dynamic_slice_in_dim(
+                    data.presence_wog, j0, T, 0).reshape(-1)
+                mi, mi_wog = mi_epilogue_pallas(
+                    C, ipf.astype(jnp.float32), jpf.astype(jnp.float32),
+                    ipwf.astype(jnp.float32), jpwf.astype(jnp.float32),
+                    pseudocount=st.pseudocount,
+                    bi=st.pallas_bi, bj=st.pallas_bj,
+                )
+                return mi, _wog_effective(data, st, mi, mi_wog, i0, j0)
             if not dual:
                 mi = mi_tile_pallas_single(
                     xi_hi, xi_hi if xi_lo is None else xi_lo,

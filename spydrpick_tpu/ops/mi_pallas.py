@@ -227,6 +227,129 @@ def mi_tile_pallas_single(
     )(*args)
 
 
+def _xtab_kernel(*refs, n_passes):
+    """Crosstable-only kernel: the dual-pass matmul of the fused kernel
+    accumulating straight into the (bi*5, bj*5) output block (revisited
+    across the minor S grid axis) — no entropy epilogue."""
+    if n_passes == 2:
+        xi_hi_ref, xi_lo_ref, xj_ref, c_ref = refs
+    else:
+        xi_hi_ref, xj_ref, c_ref = refs
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        c_ref[:] = jnp.zeros_like(c_ref)
+
+    contract = lambda a, b: jax.lax.dot_general(
+        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    c_ref[:] += contract(xi_hi_ref[:], xj_ref[:])
+    if n_passes == 2:
+        c_ref[:] += contract(xi_lo_ref[:], xj_ref[:])
+
+
+def crosstab_tile_pallas(
+    xi_hi: jnp.ndarray,
+    xi_lo: jnp.ndarray | None,
+    xj: jnp.ndarray,
+    bs: int = BS,
+    bi: int = BI,
+    bj: int = BJ,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """(TI*5, TJ*5) f32 weighted crosstable — same matmul passes as the
+    fused kernel, materialised so a sample-sharded caller can psum the
+    counts over its mesh axis BEFORE the entropy stage (the collective
+    sits between this and :func:`mi_epilogue_pallas`)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    S, TI5 = xi_hi.shape
+    TJ5 = xj.shape[1]
+    TI, TJ = TI5 // N_STATES, TJ5 // N_STATES
+    assert S % bs == 0 and TI % bi == 0 and TJ % bj == 0, (S, TI, TJ, bs)
+    n_passes = 1 if xi_lo is None else 2
+    n_k = S // bs
+    grid = (TI // bi, TJ // bj, n_k)
+    xi_spec = pl.BlockSpec((bs, bi * N_STATES), lambda i, j, k: (k, i))
+    in_specs = [xi_spec] * n_passes + [
+        pl.BlockSpec((bs, bj * N_STATES), lambda i, j, k: (k, j)),
+    ]
+    args = ((xi_hi,) if xi_lo is None else (xi_hi, xi_lo)) + (xj,)
+    return pl.pallas_call(
+        functools.partial(_xtab_kernel, n_passes=n_passes),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (bi * N_STATES, bj * N_STATES), lambda i, j, k: (i, j)
+        ),
+        out_shape=jax.ShapeDtypeStruct((TI5, TJ5), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def _epilogue_kernel(*refs, pc, bj, interpret, dual):
+    if dual:
+        c_ref, ipf_ref, jpf_ref, ipwf_ref, jpwf_ref, mi_ref, wog_ref = refs
+    else:
+        c_ref, ipf_ref, jpf_ref, mi_ref = refs
+    C = c_ref[:]
+    mi_ref[:] = _mi_from_block(C, ipf_ref[0, :], jpf_ref[0, :], pc, bj,
+                               interpret)
+    if dual:
+        wog_ref[:] = _mi_from_block(C, ipwf_ref[0, :], jpwf_ref[0, :], pc,
+                                    bj, interpret)
+
+
+def mi_epilogue_pallas(
+    C: jnp.ndarray,        # (TI*5, TJ*5) f32 (psum-merged) crosstable
+    ipf: jnp.ndarray,      # (TI*5,) f32 presence
+    jpf: jnp.ndarray,      # (TJ*5,) f32
+    ipwf: jnp.ndarray | None = None,   # presence w/o gaps (dual mode)
+    jpwf: jnp.ndarray | None = None,
+    pseudocount: float = 0.5,
+    interpret: bool | None = None,
+    bi: int = BI,
+    bj: int = BJ,
+):
+    """Entropy epilogue over a materialised crosstable: mi (TI, TJ), or
+    (mi, wog) when the wo-gaps presence masks are given — identical math
+    to the fused kernel's final-step epilogue (_mi_from_block)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    TI5, TJ5 = C.shape
+    TI, TJ = TI5 // N_STATES, TJ5 // N_STATES
+    assert TI % bi == 0 and TJ % bj == 0, (TI, TJ)
+    dual = ipwf is not None
+    grid = (TI // bi, TJ // bj)
+    c_spec = pl.BlockSpec((bi * N_STATES, bj * N_STATES), lambda i, j: (i, j))
+    i_spec = pl.BlockSpec((1, bi * N_STATES), lambda i, j: (0, i))
+    j_spec = pl.BlockSpec((1, bj * N_STATES), lambda i, j: (0, j))
+    in_specs = [c_spec, i_spec, j_spec] + ([i_spec, j_spec] if dual else [])
+    out_spec = pl.BlockSpec((bi, bj), lambda i, j: (i, j))
+    out_shape = jax.ShapeDtypeStruct((TI, TJ), jnp.float32)
+    args = (C, ipf.reshape(1, -1), jpf.reshape(1, -1))
+    if dual:
+        args += (ipwf.reshape(1, -1), jpwf.reshape(1, -1))
+    res = pl.pallas_call(
+        functools.partial(_epilogue_kernel, pc=pseudocount, bj=bj,
+                          interpret=interpret, dual=dual),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[out_spec, out_spec] if dual else out_spec,
+        out_shape=[out_shape, out_shape] if dual else out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+    return res
+
+
 def split_bf16(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """f32 -> (hi, lo) bf16 pair with hi + lo ~ x (residual ~2^-16 rel).
 

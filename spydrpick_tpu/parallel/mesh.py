@@ -140,13 +140,19 @@ def make_sharded_group_step(mesh: Mesh, st: SweepStatics,
     if n_samp > 1:
         # sample-sharded mode: S in the step's statics is the LOCAL
         # shard size; every per-tile crosstable psums over "samples"
-        # (solver.tile_mi_*), so all sample-ranks hold identical MI and
-        # their stores stay replicated.  XLA tile path (no Pallas).
+        # (solver.tile_mi_* and the split Pallas path: crosstable
+        # kernel -> psum -> entropy-epilogue kernel), so all
+        # sample-ranks hold identical MI and their stores stay
+        # replicated.
         import dataclasses as _dc
 
         assert st.S % n_samp == 0, (st.S, n_samp)
-        st = _dc.replace(st, S=st.S // n_samp, psum_axis="samples",
-                         use_pallas=False)
+        if st.use_pallas:
+            # the kernels need the LOCAL sample count to tile bs
+            # exactly; shard_sample_data pads S and picks pallas_bs so
+            assert (st.S // n_samp) % st.pallas_bs == 0, (
+                st.S, n_samp, st.pallas_bs)
+        st = _dc.replace(st, S=st.S // n_samp, psum_axis="samples")
         data_specs = DeviceData(
             onehot=P("samples", None), weights=P("samples"),
             presence=P(), presence_wog=P(), gap=P(), orig_pos=P(),
@@ -241,7 +247,21 @@ def shard_sample_data(engine: MIEngine, mesh: Mesh):
     st = engine.statics
     _, n_samp = _mesh_shape(mesh)
     data = engine.data
-    S_pad = -(-st.S // n_samp) * n_samp
+    quantum = n_samp
+    if st.use_pallas:
+        # pick a kernel sample-block that tiles the LOCAL shard with
+        # bounded zero-row padding (zero rows are exact no-ops), then
+        # pad S to shards x blocks
+        per = -(-st.S // n_samp)
+        bs_loc = 16  # bf16 operand blocks need >= 16 sublanes
+        for b in (st.pallas_bs, 512, 384, 256, 128, 64, 32, 16):
+            if b <= st.pallas_bs and -(-per // b) * b <= max(1.15 * per, 16):
+                bs_loc = b
+                break
+        quantum = n_samp * bs_loc
+        if bs_loc != st.pallas_bs:
+            st = _dc.replace(st, pallas_bs=bs_loc)
+    S_pad = -(-st.S // quantum) * quantum
     if S_pad != st.S:
         pad = S_pad - st.S
         oh_pad = (
@@ -300,10 +320,11 @@ class ShardedEngineView:
         self.data, self.st = shard_sample_data(engine, mesh)
         self.L = engine.L
         # local statics: S is the per-shard sample count; crosstables
-        # psum over the samples axis (solver.tile_mi_* / pairs_mi_*)
+        # psum over the samples axis (solver.tile_mi_* / pairs_mi_* /
+        # the split Pallas path — shard_sample_data already padded S
+        # and sized pallas_bs to tile the local shard)
         st_loc = _dc.replace(
             self.st, S=self.st.S // n_samp, psum_axis="samples",
-            use_pallas=False,
         )
         self._st_loc = st_loc
         data_specs = DeviceData(

@@ -120,6 +120,32 @@ def test_sample_sharded_2d_mesh_matches():
     np.testing.assert_allclose(ref.colmax, sharded.colmax, rtol=1e-4)
 
 
+def test_sample_sharded_pallas_kernel_matches():
+    """2-D mesh WITH the Pallas MI kernel on (interpret mode): the
+    split path (crosstable kernel -> psum over 'samples' -> entropy
+    epilogue kernel) must match the single-device fused-kernel sweep.
+    Round-2 gap: sample sharding used to force use_pallas=False."""
+    from spydrpick_tpu.ops.mi_pallas import BI
+
+    al = random_alignment(n_samples=45, n_loci=2 * BI, seed=48, gap_frac=0.1)
+    ref = MIEngine(al, EngineConfig(tile=BI, use_pallas="on")).sweep(0.02)
+    eng = MIEngine(al, EngineConfig(tile=BI, use_pallas="on"))
+    assert eng.statics.use_pallas
+    mesh = make_mesh(2, n_samples=4)
+    sharded = sharded_sweep(eng, 0.02, mesh)
+    si, sj, sm, sw = _key(ref)
+    mi_, mj, mm, mw = _key(sharded)
+    # psum splits the sample reduction: near-threshold edges may flip
+    ref_set = set(zip(si, sj))
+    got_set = set(zip(mi_, mj))
+    assert len(ref_set ^ got_set) <= max(2, len(ref_set) // 100)
+    rm = {k: v for k, v in zip(zip(si, sj), sm)}
+    gm = {k: v for k, v in zip(zip(mi_, mj), mm)}
+    for k in ref_set & got_set:
+        assert abs(rm[k] - gm[k]) < 1e-4, k
+    np.testing.assert_allclose(ref.colmax, sharded.colmax, atol=1e-4)
+
+
 def test_sharded_lazy_wog_matches_full():
     """Sharded sweep with the production lazy-wog drain: exact wog for
     every edge at/above the outlier threshold, mi elsewhere (the only
