@@ -294,3 +294,91 @@ def test_sample_sharded_windowed_matches():
     np.testing.assert_array_equal(sj, mj)
     np.testing.assert_allclose(sm, mm, rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(sw, mw, rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_checkpoint_resume_matches_clean(tmp_path):
+    """Kill a sharded sweep mid-run on the 8-device mesh, resume from
+    its checkpoint, and match a clean sharded run exactly — including
+    rows that overflowed their per-item window (their truncated store
+    edges must not be persisted as complete).  Round-2 gap: the sharded
+    checkpoint path existed but had zero tests."""
+    import os
+
+    from spydrpick_tpu.engine import checkpoint as ck
+
+    al = random_alignment(n_samples=40, n_loci=128, seed=70, gap_frac=0.1)
+    # edge_capacity 128 overflows the early block-rows at threshold -1
+    cfg = EngineConfig(tile=8, edge_capacity=128, rows_per_dispatch=1,
+                       wog_fetch="full")
+    mesh = make_mesh(8)
+    clean = sharded_sweep(MIEngine(al, cfg), -1.0, mesh).sort_desc()
+    assert clean.n_edges == 128 * 127 // 2  # all pairs kept
+
+    class Killed(Exception):
+        pass
+
+    calls = {"n": 0}
+
+    def progress(r0, r1, n_edges, dt):
+        calls["n"] += 1
+        if calls["n"] == 2:  # die after one checkpointed batch
+            raise Killed
+
+    path = str(tmp_path / "sharded.ckpt")
+    eng2 = MIEngine(al, cfg)
+    with pytest.raises(Killed):
+        sharded_sweep(eng2, -1.0, mesh, progress=progress,
+                      checkpoint_path=path, checkpoint_every=8)
+    assert os.path.exists(path)
+    saved = ck.load(path, ck.params_key(eng2.statics, -1.0))
+    assert saved is not None
+    assert 0 not in saved.done_rows  # block-row 0 overflowed (~1000 > 128)
+    # every persisted edge belongs to a row listed done
+    if saved.ipos and len(saved.ipos[0]):
+        rows = (saved.ipos[0] // 8) * 8
+        assert set(np.unique(rows)) <= saved.done_rows
+
+    resumed = sharded_sweep(MIEngine(al, cfg), -1.0, mesh,
+                            checkpoint_path=path).sort_desc()
+    assert resumed.n_edges == clean.n_edges
+    np.testing.assert_array_equal(resumed.ipos, clean.ipos)
+    np.testing.assert_array_equal(resumed.jpos, clean.jpos)
+    np.testing.assert_allclose(resumed.mi, clean.mi, rtol=1e-6)
+    np.testing.assert_allclose(resumed.mi_wog, clean.mi_wog, rtol=1e-6)
+    np.testing.assert_allclose(resumed.colmax, clean.colmax, rtol=1e-6)
+    assert not os.path.exists(path)  # completed run removes it
+
+
+def test_sharded_checkpoint_resume_windowed(tmp_path):
+    """Sharded + j-windowed checkpoint kill/resume: partially-swept
+    rows (some windows missing) must re-sweep on resume."""
+    import os
+
+    al = random_alignment(n_samples=40, n_loci=96, seed=71, gap_frac=0.1)
+    cfg = EngineConfig(tile=8, row_window=32, rows_per_dispatch=2,
+                       wog_fetch="full")
+    mesh = make_mesh(4)
+    clean = sharded_sweep(MIEngine(al, cfg), 0.02, mesh).sort_desc()
+
+    class Killed(Exception):
+        pass
+
+    calls = {"n": 0}
+
+    def progress(r0, r1, n_edges, dt):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise Killed
+
+    path = str(tmp_path / "sharded_win.ckpt")
+    with pytest.raises(Killed):
+        sharded_sweep(MIEngine(al, cfg), 0.02, mesh, progress=progress,
+                      checkpoint_path=path, checkpoint_every=8)
+    assert os.path.exists(path)
+    resumed = sharded_sweep(MIEngine(al, cfg), 0.02, mesh,
+                            checkpoint_path=path).sort_desc()
+    assert resumed.n_edges == clean.n_edges
+    np.testing.assert_array_equal(resumed.ipos, clean.ipos)
+    np.testing.assert_array_equal(resumed.jpos, clean.jpos)
+    np.testing.assert_allclose(resumed.mi, clean.mi, rtol=1e-6)
+    np.testing.assert_allclose(resumed.colmax, clean.colmax, rtol=1e-6)
