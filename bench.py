@@ -212,6 +212,43 @@ def main():
     dt = min(runs)
     runs = [round(t, 3) for t in runs]
 
+    # --- end-to-end pipeline phases (tournament + sweep + ARACNE +
+    # writers on the same alignment; reference UX is per-stage cputimer
+    # prints, src/SpydrPick.cpp:157-161) ---
+    e2e: dict = {}
+    if os.environ.get("BENCH_E2E", "1") == "1":
+        import tempfile
+
+        from spydrpick_tpu.io.fasta import write_fasta
+        from spydrpick_tpu.pipeline import PipelineOptions, run_pipeline
+
+        with tempfile.TemporaryDirectory() as td:
+            print("# e2e: writing fasta", flush=True)
+            fasta = os.path.join(td, "bench.fasta")
+            write_fasta(fasta, al)
+            wfile = os.path.join(td, "bench.weights")
+            with open(wfile, "w") as f:
+                f.write("\n".join(f"{x:.9f}" for x in (
+                    al.weights if al.weights is not None else np.ones(S))))
+            tm: dict = {}
+            print("# e2e: running pipeline (auto threshold)", flush=True)
+            res = run_pipeline(PipelineOptions(
+                alignmentfile=fasta, mi_threshold=-1.0, seed=1,
+                sample_weights=wfile, tile=tile,
+                output_dir=os.path.join(td, "out"),
+            ), timings=tm)
+            e2e = {k: (round(v, 3) if isinstance(v, float) else v)
+                   for k, v in tm.items() if not isinstance(v, dict)}
+            e2e["sweep_phases"] = {
+                k: (round(v, 3) if isinstance(v, float) else v)
+                for k, v in tm.get("sweep_phases", {}).items()}
+            e2e["aracne_phases"] = {
+                k: (round(v, 3) if isinstance(v, float) else v)
+                for k, v in tm.get("aracne_phases", {}).items()}
+            e2e["edges"] = int(res.edges.n_edges)
+            e2e["mi_threshold"] = round(res.mi_threshold, 6)
+            print(f"# e2e: {e2e}", flush=True)
+
     pairs = L * (L - 1) / 2
     pairs_per_s = pairs / dt
     result = {
@@ -231,6 +268,7 @@ def main():
             "first_run_seconds": round(compile_and_run, 3),
             "phases": {k: (round(v, 3) if isinstance(v, float) else v)
                        for k, v in phases.items()},
+            "end_to_end_s": e2e,
         },
     }
     print(json.dumps(result))

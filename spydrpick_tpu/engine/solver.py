@@ -1112,9 +1112,18 @@ class MIEngine:
         overflow_items: list[tuple[int, int | None]] = []  # (i0, jc0)
         expected_offset = 0
         pending: list[tuple[int, tuple]] = []  # (c0, device chunk arrays)
-        collected: list[tuple] = []  # per-epoch host arrays (packed drain)
         fetched_lines_total = 0
         epoch_drains = 0
+        # packed-drain assembly runs on a worker thread: the NumPy
+        # repack of an epoch's chunks (np.asarray waits + keep-filter +
+        # concatenation) used to run inline in the dispatch loop,
+        # stalling the device for seconds per epoch at 100k+ columns —
+        # the round-2 sweep-vs-compute gap.  One worker keeps epochs
+        # ordered; the futures resolve in the final fetch phase.
+        from concurrent.futures import ThreadPoolExecutor
+
+        assembler = ThreadPoolExecutor(1)
+        collected_futs: list = []
 
         def fetch_chunks_upto(watermark: int):
             """Dispatch async d2h copies of every complete, not-yet-
@@ -1129,17 +1138,20 @@ class MIEngine:
                 pending.append((c0, out))
 
         def drain_epoch():
-            """Collect everything written so far to host and recycle the
-            device store from line 0 (packed mode): every complete chunk
-            is already in flight, so this only adds the partial tail
-            chunk + the numpy assembly.  Capacity therefore bounds the
-            compute-ahead-of-drain lag, not the sweep's total edges."""
+            """Hand everything written so far to the assembly worker and
+            recycle the device store from line 0 (packed mode): every
+            complete chunk is already in flight, so this only enqueues
+            the partial tail chunk and a deferred numpy repack — the
+            dispatch loop never blocks on host assembly.  Capacity
+            therefore bounds the compute-ahead-of-drain lag, not the
+            sweep's total edges."""
             nonlocal expected_offset, offset, fetched_lines_total
             if expected_offset > 0:
                 fetch_chunks_upto(_ceil_to(expected_offset, CH))
-                collected.append(
-                    self._collect_packed(pending, expected_offset, wog_full)
-                )
+                collected_futs.append(assembler.submit(
+                    self._collect_packed, list(pending), expected_offset,
+                    wog_full,
+                ))
                 fetched_lines_total += expected_offset
             pending.clear()
             expected_offset = 0
@@ -1287,6 +1299,7 @@ class MIEngine:
         s_line = s_lane = None
         if packed:
             drain_epoch()
+            collected = [f.result() for f in collected_futs]
             _cat = lambda k, dt: (
                 np.concatenate([c[k] for c in collected])
                 if collected else np.empty(0, dt)
@@ -1305,6 +1318,7 @@ class MIEngine:
             s_i, s_j, s_m, s_w, s_c = self._fetch_stores(
                 mi_s, wog_s, ip_s, jp_s, offset, colmax_d
             )
+        assembler.shutdown(wait=True)
         t_fetch = time.perf_counter() - t_fetch0
         t_overflow0 = time.perf_counter()
         colmax = np.maximum(colmax, s_c)

@@ -175,6 +175,72 @@ def _kernel_single(*refs, pc, n_k, bj=BJ, interpret=False, n_passes=2):
         )
 
 
+def _shifted_maps(nj: int):
+    """Index maps for the deferred-epilogue schedule: at a block's first
+    S-step the epilogue of the PREVIOUS block runs (its crosstable just
+    finished accumulating), so the output window — and the presence
+    operands, which only the epilogue reads — must point at the previous
+    block there, and at the block itself on its last step (live only for
+    the final grid block).  Visits to each window stay contiguous, so
+    Pallas write-back semantics hold."""
+
+    def tgt(i, j, k):
+        idx = i * nj + j
+        return jnp.where(k == 0, jnp.maximum(idx - 1, 0), idx)
+
+    out = lambda i, j, k: (tgt(i, j, k) // nj, tgt(i, j, k) % nj)
+    ip = lambda i, j, k: (0, tgt(i, j, k) // nj)
+    jp = lambda i, j, k: (0, tgt(i, j, k) % nj)
+    return out, ip, jp
+
+
+def _kernel_single_deferred(*refs, pc, n_k, ni, nj, bj=BJ, interpret=False,
+                            n_passes=2):
+    """Software-pipelined twin of :func:`_kernel_single`: block n's
+    entropy epilogue (VPU-heavy: logs, elementwise, small dots) executes
+    during block n+1's FIRST matmul step instead of serially after block
+    n's last — the MXU accumulates the next crosstable while the VPU
+    drains the previous one.  Two parity-selected accumulators replace
+    the single scratch; the final grid block writes its own epilogue on
+    its last step (no successor).  Requires n_k >= 2 (callers gate)."""
+    if n_passes == 2:
+        (xi_hi_ref, xi_lo_ref, xj_ref, ipf_ref, jpf_ref,
+         mi_ref, C_scratch) = refs
+    else:
+        xi_hi_ref, xj_ref, ipf_ref, jpf_ref, mi_ref, C_scratch = refs
+    i, j, k = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    idx = i * nj + j
+    p = jax.lax.rem(idx, 2)
+
+    @pl.when(k == 0)
+    def _():
+        C_scratch[p] = jnp.zeros_like(C_scratch[p])
+
+    contract = lambda a, b: jax.lax.dot_general(
+        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    C_scratch[p] += contract(xi_hi_ref[:], xj_ref[:])
+    if n_passes == 2:
+        C_scratch[p] += contract(xi_lo_ref[:], xj_ref[:])
+
+    # deferred epilogue for the previous block (ipf/jpf/mi windows point
+    # at it here via _shifted_maps); independent of this step's matmul
+    @pl.when((k == 0) & (idx > 0))
+    def _():
+        mi_ref[:] = _mi_from_block(
+            C_scratch[1 - p], ipf_ref[0, :], jpf_ref[0, :], pc, bj,
+            interpret,
+        )
+
+    # the final grid block has no successor: epilogue on its last step
+    @pl.when((k == n_k - 1) & (idx == ni * nj - 1))
+    def _():
+        mi_ref[:] = _mi_from_block(
+            C_scratch[p], ipf_ref[0, :], jpf_ref[0, :], pc, bj, interpret
+        )
+
+
 def mi_tile_pallas_single(
     xi_hi: jnp.ndarray,
     xi_lo: jnp.ndarray,
@@ -187,9 +253,16 @@ def mi_tile_pallas_single(
     bi: int = BI,
     bj: int = BJ,
     n_passes: int = 2,
+    defer: bool | None = None,
 ) -> jnp.ndarray:
     """mi (TI, TJ) f32 only — same matmul + epilogue as the dual kernel
-    minus the wog pass (bit-identical mi values)."""
+    minus the wog pass (bit-identical mi values).
+
+    ``defer`` selects the software-pipelined schedule (epilogue of block
+    n overlaps block n+1's matmul; bit-identical results — same
+    accumulation and epilogue math, only the schedule moves).  Default:
+    on when the S grid has >= 2 steps; SPYDRPICK_PALLAS_DEFER=0 opts
+    out."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     S, TI5 = xi_hi.shape
@@ -197,16 +270,34 @@ def mi_tile_pallas_single(
     TI, TJ = TI5 // N_STATES, TJ5 // N_STATES
     assert S % bs == 0 and TI % bi == 0 and TJ % bj == 0, (S, TI, TJ)
     n_k = S // bs
-    grid = (TI // bi, TJ // bj, n_k)
+    ni, nj = TI // bi, TJ // bj
+    grid = (ni, nj, n_k)
+    if defer is None:
+        import os
 
-    kernel = functools.partial(_kernel_single, pc=pseudocount, n_k=n_k,
-                               bj=bj, interpret=interpret,
-                               n_passes=n_passes)
+        defer = os.environ.get("SPYDRPICK_PALLAS_DEFER", "1") == "1"
+    defer = defer and n_k >= 2
+
     xi_spec = pl.BlockSpec((bs, bi * N_STATES), lambda i, j, k: (k, i))
+    if defer:
+        kernel = functools.partial(
+            _kernel_single_deferred, pc=pseudocount, n_k=n_k, ni=ni, nj=nj,
+            bj=bj, interpret=interpret, n_passes=n_passes,
+        )
+        out_map, ip_map, jp_map = _shifted_maps(nj)
+        scratch = pltpu.VMEM((2, bi * N_STATES, bj * N_STATES), jnp.float32)
+    else:
+        kernel = functools.partial(_kernel_single, pc=pseudocount, n_k=n_k,
+                                   bj=bj, interpret=interpret,
+                                   n_passes=n_passes)
+        out_map = lambda i, j, k: (i, j)
+        ip_map = lambda i, j, k: (0, i)
+        jp_map = lambda i, j, k: (0, j)
+        scratch = pltpu.VMEM((bi * N_STATES, bj * N_STATES), jnp.float32)
     in_specs = [xi_spec] * (2 if n_passes == 2 else 1) + [
         pl.BlockSpec((bs, bj * N_STATES), lambda i, j, k: (k, j)),
-        pl.BlockSpec((1, bi * N_STATES), lambda i, j, k: (0, i)),
-        pl.BlockSpec((1, bj * N_STATES), lambda i, j, k: (0, j)),
+        pl.BlockSpec((1, bi * N_STATES), ip_map),
+        pl.BlockSpec((1, bj * N_STATES), jp_map),
     ]
     args = ((xi_hi, xi_lo) if n_passes == 2 else (xi_hi,)) + (
         xj, ipf.reshape(1, -1), jpf.reshape(1, -1),
@@ -215,11 +306,9 @@ def mi_tile_pallas_single(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((bi, bj), lambda i, j, k: (i, j)),
+        out_specs=pl.BlockSpec((bi, bj), out_map),
         out_shape=jax.ShapeDtypeStruct((TI, TJ), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((bi * N_STATES, bj * N_STATES), jnp.float32),
-        ],
+        scratch_shapes=[scratch],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),

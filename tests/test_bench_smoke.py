@@ -47,3 +47,9 @@ def test_bench_inner_smoke(tmp_path):
     assert res["unit"] == "column-pairs/s/chip"
     assert "vs_baseline" in res
     assert res["config"]["edges"] > 0
+    # end-to-end phase breakdown (tournament/sweep/aracne/writers)
+    e2e = res["config"]["end_to_end_s"]
+    for k in ("preprocess_s", "threshold_s", "sweep_s", "aracne_s",
+              "write_s", "total_s"):
+        assert k in e2e, e2e
+    assert e2e["edges"] > 0
