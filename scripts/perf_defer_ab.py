@@ -44,21 +44,30 @@ def main():
     print(f"# on-chip max |defer - serial| = {diff}", flush=True)
     assert diff == 0.0, "deferred schedule is not bit-identical on TPU"
 
-    for bs in (384, 768, 1536):
+    import itertools
+    import os
+
+    variants = []
+    for bs, defer, concat in itertools.product(
+            (768, 1536), (False, True), (False, True)):
         if S % bs:
             continue
-        for n_passes in (2, 1):
-            row = []
-            for defer in (False, True):
-                fn = lambda a_, b_, c_, d_, e_: mi_tile_pallas_single(
-                    a_, b_, c_, d_, e_, bs=bs, n_passes=n_passes,
-                    defer=defer)
-                dt = time_one(fn, args)
-                row.append(dt)
-            print(f"  bs={bs:4d} passes={n_passes}: serial "
-                  f"{row[0] * 1e3:7.3f} ms/tile, deferred "
-                  f"{row[1] * 1e3:7.3f} ms/tile "
-                  f"({row[0] / row[1]:.2f}x)", flush=True)
+        variants.append((bs, defer, concat))
+    reps = int(os.environ.get("AB_REPS", 2))
+    times: dict = {v: [] for v in variants}
+    for r in range(reps):  # interleave rounds to expose tunnel drift
+        for v in variants:
+            bs, defer, concat = v
+            fn = lambda a_, b_, c_, d_, e_: mi_tile_pallas_single(
+                a_, b_, c_, d_, e_, bs=bs, defer=defer, epi_concat=concat)
+            times[v].append(time_one(fn, args))
+        print(f"# round {r + 1}/{reps} done", flush=True)
+    for v in variants:
+        bs, defer, concat = v
+        ts = times[v]
+        print(f"  bs={bs:4d} defer={int(defer)} concat={int(concat)}: "
+              + " ".join(f"{t * 1e3:7.3f}" for t in ts)
+              + f"  min {min(ts) * 1e3:7.3f} ms/tile", flush=True)
 
 
 if __name__ == "__main__":

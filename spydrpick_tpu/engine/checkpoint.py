@@ -28,11 +28,15 @@ class SweepCheckpoint:
 
 
 def params_key(statics, threshold: float) -> str:
+    # wog_lazy is part of the key: lazy snapshots persist mi
+    # PLACEHOLDERS for wog (resolved post-hoc), full snapshots exact
+    # values — resuming one mode's snapshot in the other would leave
+    # outlier rows with unresolved placeholders
     return (
         f"L={statics.L},S={statics.S},tile={statics.tile},"
         f"thr={threshold!r},pc={statics.pseudocount!r},"
         f"ld={statics.ld_threshold},lin={statics.linear_genome},"
-        f"G={statics.genome_size}"
+        f"G={statics.genome_size},lazy={statics.wog_lazy}"
     )
 
 

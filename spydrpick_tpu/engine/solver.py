@@ -1055,12 +1055,6 @@ class MIEngine:
         """
         from spydrpick_tpu.engine import checkpoint as ckpt_mod
 
-        if checkpoint_path and self.statics.wog_lazy:
-            raise ValueError(
-                "checkpointing needs the full wog store (snapshots hold "
-                "every edge's wog); build the engine with "
-                "wog_fetch='full'"
-            )
         L, T, K = self.L, self.tile, self.config.edge_capacity
         colmax = np.full(L, -np.inf)
         all_i, all_j, all_mi, all_wog = [], [], [], []
@@ -1387,13 +1381,22 @@ class MIEngine:
             os.unlink(checkpoint_path)  # run completed; stale resume data
 
         cat = lambda xs, dt: np.concatenate(xs) if xs else np.empty(0, dt)
-        return EdgeSet(
-            ipos=cat(all_i, np.int64),
-            jpos=cat(all_j, np.int64),
-            mi=cat(all_mi, np.float64),
-            mi_wog=cat(all_wog, np.float64),
-            colmax=colmax,
-        )
+        f_i, f_j = cat(all_i, np.int64), cat(all_j, np.int64)
+        f_m, f_w = cat(all_mi, np.float64), cat(all_wog, np.float64)
+        if self.statics.wog_lazy and not packed and f_m.size:
+            # checkpointed lazy run: stored/persisted wog values are mi
+            # placeholders (incl. edges loaded from a resume snapshot);
+            # resolve outlier candidates over the FULL edge set now that
+            # the final colmax — hence the Tukey fence — is known
+            from spydrpick_tpu.engine.outliers import outlier_thresholds
+
+            thr_out, _ = outlier_thresholds(colmax)
+            cand = f_m >= thr_out
+            if cand.any():
+                f_w = f_w.copy()
+                f_w[cand] = self.pair_wog(f_i[cand], f_j[cand])
+        return EdgeSet(ipos=f_i, jpos=f_j, mi=f_m, mi_wog=f_w,
+                       colmax=colmax)
 
     def _fetch_stores(self, mi_s, wog_s, ip_s, jp_s, offset, colmax_d):
         """Bulk host fetch of the device edge stores (lines [:offset]) +
@@ -1402,14 +1405,21 @@ class MIEngine:
         Both compaction paths emit dense entries, but sub-line tails and
         overflowed / poisoned rows hold zero padding; real edges always
         satisfy jpos > ipos while padding is (0, 0), so that inequality
-        filters padding exactly."""
+        filters padding exactly.  In lazy-wog mode the wog store was
+        never computed (all zeros): the returned wog is an mi
+        placeholder, resolved for outlier candidates at the end of the
+        sweep (the only wog values the output surface reads)."""
         off = int(offset)  # lines
         L = self.L
         s_i = np.asarray(ip_s[:off]).reshape(-1).astype(np.int64)
         s_j = np.asarray(jp_s[:off]).reshape(-1).astype(np.int64)
         s_m = np.asarray(mi_s[:off]).reshape(-1).astype(np.float64)
-        s_w = np.asarray(wog_s[:off]).reshape(-1).astype(np.float64)
         keep = s_j > s_i
+        if self.statics.wog_lazy:
+            s_w = s_m[keep].copy()
+            return (s_i[keep], s_j[keep], s_m[keep], s_w,
+                    np.asarray(colmax_d[:L], dtype=np.float64))
+        s_w = np.asarray(wog_s[:off]).reshape(-1).astype(np.float64)
         return (s_i[keep], s_j[keep], s_m[keep], s_w[keep],
                 np.asarray(colmax_d[:L], dtype=np.float64))
 

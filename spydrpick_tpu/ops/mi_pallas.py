@@ -77,12 +77,17 @@ def _split_dot(x, M, interpret=False):
     return d(xh) + d(xl)
 
 
-def _mi_from_block(C, ipf, jpf, pc, bj=BJ, interpret=False):
+def _mi_from_block(C, ipf, jpf, pc, bj=BJ, interpret=False, concat=False):
     """(bi, bj) MI from a (bi*5, bj*5) crosstable block in registers.
 
     Group reductions over i-states (major axis) are exact reshape-sums;
     reductions over j-states (minor axis) are split-dots against the
-    jp-masked 0/1 group indicator.
+    jp-masked 0/1 group indicator.  ``concat=True`` fuses the four
+    logical dots (A, A*lnA, R*lnR, R against Mj) into TWO split-dots on
+    row-concatenated operands — each output row's contraction is
+    unchanged (bit-identical results), half the MXU launches at twice
+    the M dim (hardware A/B: wins on the serial schedule, loses under
+    the deferred overlap — scripts/perf_defer_ab.py).
     """
     f32 = jnp.float32
     Mj = (_group_indicator(bj, f32) * jpf[:, None]).astype(jnp.bfloat16)
@@ -92,18 +97,26 @@ def _mi_from_block(C, ipf, jpf, pc, bj=BJ, interpret=False):
     lnA = _ln_pos(A)
 
     sdot = lambda x, M: _split_dot(x, M, interpret)
-    B = sdot(A, Mj)                        # (640, 128) masked col sums
-    T1 = sdot(A * lnA, Mj)
     ipc = ipf[:, None]
+    R = _rowsum5(A)                        # (128, 640) unmasked row sums
+    lnR = _ln_pos(R)
+    if concat:
+        n5 = A.shape[0]
+        bt = sdot(jnp.concatenate([A, A * lnA], axis=0), Mj)  # (2*bi5, bj)
+        B, T1 = bt[:n5], bt[n5:]           # masked col sums / entropy
+        bi_n = R.shape[0]
+        gs = sdot(jnp.concatenate([R * lnR, R], axis=0), Mj)  # (2*bi, bj)
+        Gi_, Si_ = gs[:bi_n], gs[bi_n:]
+    else:
+        B = sdot(A, Mj)                    # (640, 128) masked col sums
+        T1 = sdot(A * lnA, Mj)
+        Gi_ = sdot(R * lnR, Mj)            # (128, 128)
+        Si_ = sdot(R, Mj)
     Z = _rowsum5(B * ipc)                  # (128, 128)
     G1 = _rowsum5(T1 * ipc)                # sum pm*A*lnA
     lnB = _ln_pos(B)
     Gj_ = _rowsum5(B * lnB * ipc)          # i-marginal entropy numerator
     # j-marginal uses the FULL row sum over all i-states (mi.hpp:173)
-    R = _rowsum5(A)                        # (128, 640) unmasked row sums
-    lnR = _ln_pos(R)
-    Gi_ = sdot(R * lnR, Mj)                # (128, 128)
-    Si_ = sdot(R, Mj)
 
     invZ = 1.0 / jnp.maximum(Z, jnp.finfo(f32).tiny)
     lnZ = _ln_pos(Z)
@@ -139,7 +152,8 @@ def _kernel(xi_hi_ref, xi_lo_ref, xj_ref, ipf_ref, jpf_ref, ipwf_ref, jpwf_ref,
         wog_ref[:] = _mi_from_block(C, ipwf, jpwf, pc, bj, interpret)
 
 
-def _kernel_single(*refs, pc, n_k, bj=BJ, interpret=False, n_passes=2):
+def _kernel_single(*refs, pc, n_k, bj=BJ, interpret=False, n_passes=2,
+                   concat=False):
     """Single-variant kernel: mi only (the lazy-wog hot path — the
     gaps-excluded variant is recomputed post-hoc for the few stored
     edges that need it, the sparsity the reference exploits via its
@@ -171,7 +185,8 @@ def _kernel_single(*refs, pc, n_k, bj=BJ, interpret=False, n_passes=2):
     @pl.when(k == n_k - 1)
     def _():
         mi_ref[:] = _mi_from_block(
-            C_scratch[:], ipf_ref[0, :], jpf_ref[0, :], pc, bj, interpret
+            C_scratch[:], ipf_ref[0, :], jpf_ref[0, :], pc, bj, interpret,
+            concat,
         )
 
 
@@ -195,7 +210,7 @@ def _shifted_maps(nj: int):
 
 
 def _kernel_single_deferred(*refs, pc, n_k, ni, nj, bj=BJ, interpret=False,
-                            n_passes=2):
+                            n_passes=2, concat=False):
     """Software-pipelined twin of :func:`_kernel_single`: block n's
     entropy epilogue (VPU-heavy: logs, elementwise, small dots) executes
     during block n+1's FIRST matmul step instead of serially after block
@@ -230,14 +245,15 @@ def _kernel_single_deferred(*refs, pc, n_k, ni, nj, bj=BJ, interpret=False,
     def _():
         mi_ref[:] = _mi_from_block(
             C_scratch[1 - p], ipf_ref[0, :], jpf_ref[0, :], pc, bj,
-            interpret,
+            interpret, concat,
         )
 
     # the final grid block has no successor: epilogue on its last step
     @pl.when((k == n_k - 1) & (idx == ni * nj - 1))
     def _():
         mi_ref[:] = _mi_from_block(
-            C_scratch[p], ipf_ref[0, :], jpf_ref[0, :], pc, bj, interpret
+            C_scratch[p], ipf_ref[0, :], jpf_ref[0, :], pc, bj, interpret,
+            concat,
         )
 
 
@@ -254,6 +270,7 @@ def mi_tile_pallas_single(
     bj: int = BJ,
     n_passes: int = 2,
     defer: bool | None = None,
+    epi_concat: bool = False,
 ) -> jnp.ndarray:
     """mi (TI, TJ) f32 only — same matmul + epilogue as the dual kernel
     minus the wog pass (bit-identical mi values).
@@ -283,13 +300,14 @@ def mi_tile_pallas_single(
         kernel = functools.partial(
             _kernel_single_deferred, pc=pseudocount, n_k=n_k, ni=ni, nj=nj,
             bj=bj, interpret=interpret, n_passes=n_passes,
+            concat=epi_concat,
         )
         out_map, ip_map, jp_map = _shifted_maps(nj)
         scratch = pltpu.VMEM((2, bi * N_STATES, bj * N_STATES), jnp.float32)
     else:
         kernel = functools.partial(_kernel_single, pc=pseudocount, n_k=n_k,
                                    bj=bj, interpret=interpret,
-                                   n_passes=n_passes)
+                                   n_passes=n_passes, concat=epi_concat)
         out_map = lambda i, j, k: (i, j)
         ip_map = lambda i, j, k: (0, i)
         jp_map = lambda i, j, k: (0, j)

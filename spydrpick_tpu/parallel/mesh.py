@@ -447,11 +447,6 @@ def sharded_sweep(
 
     mesh = mesh or make_mesh()
     st = engine.statics
-    if st.wog_lazy and checkpoint_path:
-        raise ValueError(
-            "checkpointing needs the full wog store (snapshots hold "
-            "every edge's wog); build the engine with wog_fetch='full'"
-        )
     lazy = st.wog_lazy  # mi-only tiles; wog resolved post-hoc for
     # outlier candidates via the pairs kernel (replicated, so identical
     # on every process) — the single-chip production drain's design
@@ -699,24 +694,11 @@ def sharded_sweep(
     t_fetch = time.perf_counter() - t_fetch0
     colmax_host = np.maximum(colmax_host, s_c)
 
-    # assemble the drained (epoch + final) pieces; in lazy mode their
-    # wog is an mi placeholder — resolve outlier candidates via the
-    # pairs kernel now that the final colmax (hence the Tukey fence)
-    # is known (replicated computation: identical on every process)
     cat0 = lambda xs, dt: np.concatenate(xs) if xs else np.empty(0, dt)
     s_i = cat0(ep_i + [s_i], np.int64)
     s_j = cat0(ep_j + [s_j], np.int64)
     s_m = cat0(ep_m + [s_m], np.float64)
     s_w = cat0(ep_w + [s_w], np.float64)
-    if lazy and s_m.size:
-        from spydrpick_tpu.engine.outliers import outlier_thresholds
-
-        thr_out, _ = outlier_thresholds(colmax_host)
-        cand = s_m >= thr_out
-        if cand.any():
-            s_w = s_w.copy()
-            resolver = view.pair_wog if view is not None else engine.pair_wog
-            s_w[cand] = resolver(s_i[cand], s_j[cand])
 
     t_overflow0 = time.perf_counter()
     if overflow_items:
@@ -762,10 +744,20 @@ def sharded_sweep(
             os.unlink(checkpoint_path)  # run completed; stale resume data
 
     cat = lambda xs, dt: np.concatenate(xs) if xs else np.empty(0, dt)
-    return EdgeSet(
-        ipos=cat(all_i, np.int64),
-        jpos=cat(all_j, np.int64),
-        mi=cat(all_mi, np.float64),
-        mi_wog=cat(all_wog, np.float64),
-        colmax=colmax_host,
-    )
+    f_i, f_j = cat(all_i, np.int64), cat(all_j, np.int64)
+    f_m, f_w = cat(all_mi, np.float64), cat(all_wog, np.float64)
+    if lazy and f_m.size:
+        # lazy drains stored mi placeholders for wog (incl. edges loaded
+        # from a resume snapshot); resolve outlier candidates via the
+        # pairs kernel now that the final colmax — hence the Tukey
+        # fence — is known (replicated: identical on every process)
+        from spydrpick_tpu.engine.outliers import outlier_thresholds
+
+        thr_out, _ = outlier_thresholds(colmax_host)
+        cand = f_m >= thr_out
+        if cand.any():
+            f_w = f_w.copy()
+            resolver = view.pair_wog if view is not None else engine.pair_wog
+            f_w[cand] = resolver(f_i[cand], f_j[cand])
+    return EdgeSet(ipos=f_i, jpos=f_j, mi=f_m, mi_wog=f_w,
+                   colmax=colmax_host)

@@ -235,9 +235,9 @@ def run_pipeline(opts: PipelineOptions, write_outputs: bool = True,
         # the output surface reads wog only for outlier rows
         # (SpydrPick.hpp:100-124): lazy-wog mode skips the variant in
         # the hot sweep (single-chip and sharded) and resolves those few
-        # edges post-hoc; checkpoints persist every edge's wog and need
-        # the full store
-        wog_fetch="full" if opts.checkpoint else "outliers",
+        # edges post-hoc — checkpointed runs included (snapshots persist
+        # mi placeholders; candidates resolve after the final colmax)
+        wog_fetch="outliers",
         verbose=opts.verbose,
     )
     engine = MIEngine(alignment, config)

@@ -163,7 +163,8 @@ def test_cli_checkpoint_resume_outputs_match(tmp_path):
 
     al2 = read_fasta(str(fasta))
     al2.weights = None
-    eng = MIEngine(al2, EngineConfig(tile=8, wog_fetch="full"))
+    eng = MIEngine(al2, EngineConfig(tile=8, wog_fetch="outliers"))
+    assert eng.statics.wog_lazy  # the CLI's production mode
     path = str(tmp_path / "cli.ckpt")
     key = ck.params_key(eng.statics, 0.05)
     ck.save(path, ck.SweepCheckpoint(key, set(), np.full(al2.n_loci, -np.inf),
@@ -224,3 +225,63 @@ def test_row_window_checkpoint_resume_matches_clean(tmp_path):
     np.testing.assert_allclose(resumed.mi, clean.mi, rtol=1e-6)
     np.testing.assert_allclose(resumed.mi_wog, clean.mi_wog, rtol=1e-6)
     np.testing.assert_allclose(resumed.colmax, clean.colmax, rtol=1e-6)
+
+
+def test_lazy_wog_checkpoint_resume_matches_full(tmp_path):
+    """Checkpoint + lazy wog (the production drain) now compose: a
+    killed lazy run resumes and produces the same output surface as an
+    uncheckpointed FULL-wog run — exact wog for outlier candidates,
+    mi elsewhere.  (Round-2 limitation: checkpoint x lazy was a hard
+    error, so checkpointed big runs paid dual compute.)"""
+    from spydrpick_tpu.engine.outliers import outlier_thresholds
+
+    al = random_alignment(n_samples=50, n_loci=96, seed=53, gap_frac=0.2)
+    al.codes[:, 90] = al.codes[:, 9]  # plant an outlier coupling
+    full = MIEngine(al, EngineConfig(tile=8, wog_fetch="full")).sweep(
+        0.01).sort_desc()
+
+    class Killed(Exception):
+        pass
+
+    calls = {"n": 0}
+
+    def progress(r0, r1, n, dt):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise Killed
+
+    cfg = EngineConfig(tile=8, wog_fetch="outliers", rows_per_dispatch=2)
+    path = str(tmp_path / "lazy.ckpt")
+    try:
+        MIEngine(al, cfg).sweep(0.01, progress=progress,
+                                checkpoint_path=path, checkpoint_every=2)
+        raise AssertionError("progress kill did not fire")
+    except Killed:
+        pass
+    assert os.path.exists(path)
+    resumed = MIEngine(al, cfg).sweep(0.01, checkpoint_path=path).sort_desc()
+
+    assert resumed.n_edges == full.n_edges
+    np.testing.assert_array_equal(resumed.ipos, full.ipos)
+    np.testing.assert_array_equal(resumed.jpos, full.jpos)
+    np.testing.assert_allclose(resumed.mi, full.mi, rtol=1e-6)
+    thr_out, _ = outlier_thresholds(full.colmax)
+    cand = full.mi >= thr_out
+    assert cand.any()
+    np.testing.assert_allclose(resumed.mi_wog[cand], full.mi_wog[cand],
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_lazy_full_checkpoints_not_interchangeable(tmp_path):
+    """A lazy snapshot must not resume a full-wog run (placeholders
+    would masquerade as exact wog): the params key separates them."""
+    al = random_alignment(n_samples=30, n_loci=32, seed=54)
+    lazy_eng = MIEngine(al, EngineConfig(tile=8, wog_fetch="outliers"))
+    full_eng = MIEngine(al, EngineConfig(tile=8, wog_fetch="full"))
+    k_lazy = ck.params_key(lazy_eng.statics, 0.05)
+    k_full = ck.params_key(full_eng.statics, 0.05)
+    assert k_lazy != k_full
+    path = str(tmp_path / "x.ckpt")
+    ck.save(path, ck.SweepCheckpoint(k_lazy, set(), np.zeros(32),
+                                     [], [], [], []))
+    assert ck.load(path, k_full) is None
