@@ -830,6 +830,9 @@ def build_device_data(alignment: Alignment, config: EngineConfig) -> tuple[Devic
             if _ceil_to(S, b) <= 1.15 * S or b == 256:
                 pallas_bs = b
                 break
+        env_bs = int(os.environ.get("SPYDRPICK_PALLAS_BS", 0))
+        if env_bs:
+            pallas_bs = env_bs
         S = _ceil_to(S, pallas_bs)  # zero sample rows are exact no-ops
 
     codes = np.full((S, Lp), 255, dtype=np.uint8)

@@ -382,3 +382,47 @@ def test_sharded_checkpoint_resume_windowed(tmp_path):
     np.testing.assert_array_equal(resumed.jpos, clean.jpos)
     np.testing.assert_allclose(resumed.mi, clean.mi, rtol=1e-6)
     np.testing.assert_allclose(resumed.colmax, clean.colmax, rtol=1e-6)
+
+
+def test_sharded_lazy_checkpoint_resume(tmp_path):
+    """Sharded + lazy wog + checkpoint kill/resume: resumed placeholder
+    wog values resolve post-hoc for outlier candidates (same output
+    surface as a clean full-wog sharded run)."""
+    import os
+
+    from spydrpick_tpu.engine.outliers import outlier_thresholds
+
+    al = random_alignment(n_samples=40, n_loci=96, seed=72, gap_frac=0.2)
+    al.codes[:, 90] = al.codes[:, 9]  # plant an outlier coupling
+    mesh = make_mesh(4)
+    full = sharded_sweep(
+        MIEngine(al, EngineConfig(tile=8, wog_fetch="full")), 0.01, mesh
+    ).sort_desc()
+
+    class Killed(Exception):
+        pass
+
+    calls = {"n": 0}
+
+    def progress(r0, r1, n, dt):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise Killed
+
+    cfg = EngineConfig(tile=8, wog_fetch="outliers", rows_per_dispatch=1)
+    path = str(tmp_path / "sl.ckpt")
+    with pytest.raises(Killed):
+        sharded_sweep(MIEngine(al, cfg), 0.01, mesh, progress=progress,
+                      checkpoint_path=path, checkpoint_every=4)
+    assert os.path.exists(path)
+    resumed = sharded_sweep(MIEngine(al, cfg), 0.01, mesh,
+                            checkpoint_path=path).sort_desc()
+    assert resumed.n_edges == full.n_edges
+    np.testing.assert_array_equal(resumed.ipos, full.ipos)
+    np.testing.assert_array_equal(resumed.jpos, full.jpos)
+    np.testing.assert_allclose(resumed.mi, full.mi, rtol=1e-6)
+    thr_out, _ = outlier_thresholds(full.colmax)
+    cand = full.mi >= thr_out
+    assert cand.any()
+    np.testing.assert_allclose(resumed.mi_wog[cand], full.mi_wog[cand],
+                               rtol=1e-5, atol=1e-7)
