@@ -32,28 +32,39 @@ def write_couplings(
     alignment: Alignment,
     output_base: int = 1,
     linear_genome: bool = False,
+    use_native: bool = True,
 ) -> None:
     p1 = _translated(edges.ipos, alignment.translation, output_base)
     p2 = _translated(edges.jpos, alignment.translation, output_base)
     dist = genome_distance(p1, p2, alignment.n_original_positions, linear_genome)
-    # vectorised row formatting — a Python per-row loop would dominate
-    # wall time at the ~1e7-edge default scale
-    sep = np.array(" ")
-    nl = np.array("\n")
-    rows = np.char.add(
-        np.char.add(
-            np.char.add(np.char.mod("%d", p1), sep),
-            np.char.add(np.char.mod("%d", p2), sep),
-        ),
-        np.char.add(
-            np.char.add(np.char.mod("%d", dist), sep),
-            np.char.add(
-                np.char.add(np.char.mod("%d", flags.astype(np.int64)), sep),
-                np.char.add(np.char.mod("%.6f", edges.mi), nl),
-            ),
-        ),
-    )
-    f.write("".join(rows.tolist()))
+    fl = flags.astype(np.uint8)
+    # native OpenMP formatter (the apegrunt Graph_output_formatter role):
+    # the earlier np.char pipeline ran ~25 us/row — 250 s at the 1e7-edge
+    # default output.  Python fallback below is a chunked f-string loop
+    # (~1.5 us/row); both produce byte-identical rows (locked by tests).
+    if use_native:
+        try:
+            from spydrpick_tpu.native import format_native
+
+            data = format_native.format_couplings(p1, p2, dist, fl, edges.mi)
+            if hasattr(f, "buffer"):  # text file: skip the str round-trip
+                f.flush()
+                f.buffer.write(data)
+            else:
+                f.write(data.decode("ascii"))
+            return
+        except Exception:
+            pass  # fall back to Python formatting
+    mi = edges.mi
+    out = []
+    for c0 in range(0, len(mi), 1 << 18):
+        hi = min(len(mi), c0 + (1 << 18))
+        out.append("\n".join(
+            f"{p1[k]} {p2[k]} {dist[k]} {fl[k]} {mi[k]:.6f}"
+            for k in range(c0, hi)
+        ))
+        out.append("\n")
+    f.write("".join(out))
 
 
 def write_outliers(

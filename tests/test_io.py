@@ -71,3 +71,58 @@ def test_unique_path_increments(tmp_path):
     (tmp_path / "out.txt.1").write_text("y")
     p3 = unique_path(str(base))
     assert str(p3) == str(base) + ".2"
+
+
+def test_native_formatter_matches_python_fallback(tmp_path):
+    """The OpenMP row formatter and the Python fallback must produce
+    byte-identical couplings files (incl. %.6f rounding ties)."""
+    import io
+
+    import numpy as np
+
+    from spydrpick_tpu.engine.solver import EdgeSet
+    from spydrpick_tpu.io.writers import write_couplings
+    from tests.conftest import random_alignment
+
+    al = random_alignment(20, 50, seed=77)
+    rng = np.random.default_rng(7)
+    E = 5000
+    i = rng.integers(0, 49, E)
+    j = i + rng.integers(1, 50 - np.maximum(i, 1), E).clip(1)
+    j = np.minimum(j, 49)
+    keep = j > i
+    i, j = i[keep], j[keep]
+    # exercise rounding ties: exact binary values + random
+    mi = np.concatenate([rng.random(len(i) - 3),
+                         [0.1234565, 0.0000005, 1.5]])[: len(i)]
+    edges = EdgeSet(i.astype(np.int64), j.astype(np.int64),
+                    mi.astype(np.float64), mi.astype(np.float64),
+                    np.zeros(50))
+    flags = rng.integers(0, 2, len(i)).astype(np.uint8)
+    a, b = io.StringIO(), io.StringIO()
+    write_couplings(a, edges, flags, al, use_native=True)
+    write_couplings(b, edges, flags, al, use_native=False)
+    assert a.getvalue() == b.getvalue()
+    assert a.getvalue().count("\n") == len(i)
+
+
+def test_sort_desc_tie_semantics():
+    """sort_desc's argsort+tie-fix must equal the reference 3-key
+    lexsort exactly, including long equal-MI runs."""
+    import numpy as np
+
+    from spydrpick_tpu.engine.solver import EdgeSet
+
+    rng = np.random.default_rng(3)
+    E = 20000
+    mi = rng.choice([0.5, 0.25, 0.125, rng.random()], E)  # heavy ties
+    mi += rng.random(E) * (rng.random(E) < 0.3)           # mixed uniques
+    i = rng.integers(0, 1000, E).astype(np.int64)
+    j = i + 1 + rng.integers(0, 100, E).astype(np.int64)
+    e = EdgeSet(i, j, mi, mi * 0.5, np.zeros(4))
+    got = e.sort_desc()
+    order = np.lexsort((j, i, -mi))
+    np.testing.assert_array_equal(got.mi, mi[order])
+    np.testing.assert_array_equal(got.ipos, i[order])
+    np.testing.assert_array_equal(got.jpos, j[order])
+    np.testing.assert_array_equal(got.mi_wog, (mi * 0.5)[order])
