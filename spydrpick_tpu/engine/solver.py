@@ -783,12 +783,6 @@ def fetch_chunk_core(mi_s, wog_s, ip_s, jp_s, c0, st: SweepStatics,
     return out
 
 
-def gather_wog_lines_core(wog_s, line_idx):
-    """Line-granular gather of the on-device wog store (the deferred
-    "outliers" drain: only lines holding outlier candidates travel)."""
-    return jnp.take(wog_s, line_idx, axis=0)
-
-
 # ---------------------------------------------------------------------- #
 # engine (host driver)
 # ---------------------------------------------------------------------- #
@@ -966,7 +960,6 @@ class MIEngine:
         self._fetch_chunk_wog = jax.jit(
             partial(fetch_chunk_core, st=st, ch=self._chunk_lines,
                     include_wog=True))
-        self._gather_wog = jax.jit(gather_wog_lines_core)
         self._fetch_colmax = jax.jit(lambda c: c[: st.L])
 
     # ------------------------------------------------------------------ #
@@ -1311,7 +1304,6 @@ class MIEngine:
             )
 
         t_fetch0 = time.perf_counter()
-        s_line = s_lane = None
         if packed:
             drain_epoch()
             collected = [f.result() for f in collected_futs]
@@ -1322,12 +1314,6 @@ class MIEngine:
             s_i, s_j = _cat(0, np.int64), _cat(1, np.int64)
             s_m = _cat(2, np.float64)
             s_w = _cat(3, np.float64) if wog_full else None
-            # NOTE: line/lane coordinates are only meaningful within one
-            # epoch (the store is recycled); they feed the deferred
-            # store-line wog gather, which only runs in the (currently
-            # unreachable) non-lazy "outliers" mode — lazy mode resolves
-            # wog through the pairs kernel instead.
-            s_line, s_lane = _cat(4, np.int64), _cat(5, np.int32)
             s_c = np.asarray(self._fetch_colmax(colmax_d), dtype=np.float64)
         else:
             s_i, s_j, s_m, s_w, s_c = self._fetch_stores(
@@ -1351,8 +1337,6 @@ class MIEngine:
             s_i, s_j, s_m = s_i[~bad], s_j[~bad], s_m[~bad]
             if s_w is not None:
                 s_w = s_w[~bad]
-            if s_line is not None:
-                s_line, s_lane = s_line[~bad], s_lane[~bad]
             for i0, jc0 in overflow_items:
                 if jc0 is None:
                     bufs = self._row_full(
@@ -1372,9 +1356,7 @@ class MIEngine:
             # deferred drain: resolve wog only for outlier candidates
             # (the only edges whose wog the output surface reads,
             # SpydrPick.hpp:100-124); mi for the rest
-            s_w = self._resolve_deferred_wog(
-                wog_s, s_m, s_i, s_j, s_line, s_lane, colmax
-            )
+            s_w = self._resolve_deferred_wog(s_m, s_i, s_j, colmax)
         all_i.append(s_i)
         all_j.append(s_j)
         all_mi.append(s_m)
@@ -1453,57 +1435,45 @@ class MIEngine:
         (fetch_chunk_core): broadcast the per-line ipos back to edges,
         widen uint16 jpos, drop zero-padding holes via jpos > ipos.
 
-        Returns (ipos, jpos, mi, wog-or-None, line, lane); line/lane
-        locate each edge in the device store for the deferred wog
-        gather."""
+        Single vectorised pass over the whole epoch (per-chunk slicing
+        only waits on the async copies) — runs on the assembly worker
+        thread, off the dispatch loop.  Returns (ipos, jpos, mi,
+        wog-or-None)."""
         LN = self.statics.store_lanes
         CH = self._chunk_lines
-        ai, aj, am, aw, aline, alane = [], [], [], [], [], []
-        lane_ids = np.tile(np.arange(LN, dtype=np.int32), CH)
+        mi_p, ip_p, jp_p, wog_p = [], [], [], []
         for c0, out in pending:
             valid = min(off - c0, CH)
             if valid <= 0:
                 break
-            mi_a = np.asarray(out[0])[:valid]
-            ip_a = np.asarray(out[1])[:valid]
-            jp_a = np.asarray(out[2])[:valid]
-            if ip_a.ndim == 1:  # route: one i-row per line, broadcast
-                ipb = np.repeat(ip_a.astype(np.int64), LN)
-            else:               # xla/pallas windows mix i-rows per line
-                ipb = ip_a.reshape(-1).astype(np.int64)
-            jpb = jp_a.reshape(-1).astype(np.int64)
-            keep = jpb > ipb
-            ai.append(ipb[keep])
-            aj.append(jpb[keep])
-            am.append(mi_a.reshape(-1)[keep].astype(np.float64))
+            mi_p.append(np.asarray(out[0])[:valid])
+            ip_p.append(np.asarray(out[1])[:valid])
+            jp_p.append(np.asarray(out[2])[:valid])
             if wog_full:
-                aw.append(
-                    np.asarray(out[3])[:valid].reshape(-1)[keep].astype(np.float64)
-                )
-            aline.append(
-                np.repeat(np.arange(c0, c0 + valid, dtype=np.int64), LN)[keep]
-            )
-            alane.append(lane_ids[: valid * LN][keep])
-        cat = lambda xs, dt: (
-            np.concatenate(xs) if xs else np.empty(0, dt)
-        )
-        return (
-            cat(ai, np.int64), cat(aj, np.int64), cat(am, np.float64),
-            cat(aw, np.float64) if wog_full else None,
-            cat(aline, np.int64), cat(alane, np.int32),
-        )
+                wog_p.append(np.asarray(out[3])[:valid])
+        if not mi_p:
+            e = np.empty(0)
+            return (e.astype(np.int64), e.astype(np.int64), e,
+                    e if wog_full else None)
+        ip_a = np.concatenate(ip_p)
+        if ip_a.ndim == 1:  # route: one i-row per line, broadcast
+            ipb = np.repeat(ip_a.astype(np.int64), LN)
+        else:               # xla windows mix i-rows per line
+            ipb = ip_a.reshape(-1).astype(np.int64)
+        jpb = np.concatenate(jp_p).reshape(-1).astype(np.int64)
+        keep = jpb > ipb
+        mi = np.concatenate(mi_p).reshape(-1)[keep].astype(np.float64)
+        wog = (np.concatenate(wog_p).reshape(-1)[keep].astype(np.float64)
+               if wog_full else None)
+        return ipb[keep], jpb[keep], mi, wog
 
-    def _resolve_deferred_wog(self, wog_s, s_m, s_i, s_j, s_line, s_lane,
-                              colmax):
-        """Deferred "outliers" wog drain: compute the outlier threshold
-        from the final colmax (exactly as the pipeline will,
-        engine/outliers.py) and fill exact wog values for candidate
-        edges only; everything below the threshold keeps wog = mi (the
-        output surface never reads it, SpydrPick.hpp:100-124).
-
-        In lazy mode (st.wog_lazy — the sweep never computed wog) the
-        values come from the pairs kernel (pairs_mi_dual_core); in dual
-        mode they are gathered from the on-device wog store lines."""
+    def _resolve_deferred_wog(self, s_m, s_i, s_j, colmax):
+        """Deferred wog resolution (lazy mode — the sweep never computed
+        wog): compute the outlier threshold from the final colmax
+        (exactly as the pipeline will, engine/outliers.py) and fill
+        exact wog values via the pairs kernel for candidate edges only;
+        everything below the threshold keeps wog = mi (the output
+        surface never reads it, SpydrPick.hpp:100-124)."""
         from spydrpick_tpu.engine.outliers import outlier_thresholds
 
         s_w = s_m.copy()
@@ -1511,18 +1481,8 @@ class MIEngine:
             return s_w
         thr_out, _ = outlier_thresholds(colmax)
         cand = s_m >= thr_out
-        if not cand.any():
-            return s_w
-        if self.statics.wog_lazy:
+        if cand.any():
             s_w[cand] = self.pair_wog(s_i[cand], s_j[cand])
-            return s_w
-        lines_needed = np.unique(s_line[cand])
-        nb = 1 << max(6, int(lines_needed.size - 1).bit_length())
-        idx = np.zeros(nb, np.int32)
-        idx[: lines_needed.size] = lines_needed
-        g = np.asarray(self._gather_wog(wog_s, jnp.asarray(idx)))
-        pos = np.searchsorted(lines_needed, s_line[cand])
-        s_w[cand] = g[pos, s_lane[cand]].astype(np.float64)
         return s_w
 
     def pair_wog(self, ipos: np.ndarray, jpos: np.ndarray,
