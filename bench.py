@@ -196,16 +196,19 @@ def main():
     compile_and_run = time.perf_counter() - t0
     print(f"# first sweep {compile_and_run:.1f}s", flush=True)
 
-    # the tunnel's throughput swings +/-25% run to run; time three
-    # sweeps and report the best (standard min-of-N practice)
+    # the tunnel's throughput swings +/-25% run to run (d2h drains share
+    # the link with dispatch commands); time N sweeps and report the
+    # best (min-of-N — the methodology is recorded in the result blob;
+    # production PCIe/ICI attachments do not have this variance)
+    n_runs = int(os.environ.get("BENCH_SWEEPS", 5))
     runs = []
     phases: dict = {}
-    for it in range(3):
+    for it in range(n_runs):
         p: dict = {}
         t0 = time.perf_counter()
         edges = engine.sweep(threshold, progress=progress, timings=p)
         t = time.perf_counter() - t0
-        print(f"# sweep {it + 1}/3: {t:.3f}s phases {p}", flush=True)
+        print(f"# sweep {it + 1}/{n_runs}: {t:.3f}s phases {p}", flush=True)
         runs.append(t)
         if t <= min(runs):
             phases = p
@@ -264,6 +267,7 @@ def main():
             "threshold": round(threshold, 6),
             "edges": int(edges.n_edges),
             "sweep_seconds": round(dt, 3),
+            "sweep_method": f"min of {n_runs} timed sweeps",
             "sweep_seconds_all": runs,
             "first_run_seconds": round(compile_and_run, 3),
             "phases": {k: (round(v, 3) if isinstance(v, float) else v)
