@@ -98,12 +98,19 @@ def write_outliers(
 def write_state_frequencies(f, alignment: Alignment, output_base: int = 1) -> None:
     """Per-column state frequency profile (apegrunt
     ``output_state_frequencies``, src/SpydrPick.cpp:333).  Columns:
-    position A C G T gap frequencies (of n_samples)."""
+    position A C G T gap frequencies (of n_samples).  Chunked join —
+    the naive per-row loop cost ~1 min at the 1M-column class."""
     counts = alignment.state_counts
     freqs = counts / alignment.n_samples
-    for k in range(alignment.n_loci):
-        pos = alignment.translation[k] + output_base
-        f.write(f"{pos} " + " ".join(f"{x:.6f}" for x in freqs[k]) + "\n")
+    pos = alignment.translation + output_base
+    L = alignment.n_loci
+    for c0 in range(0, L, 1 << 16):
+        hi = min(L, c0 + (1 << 16))
+        f.write("\n".join(
+            f"{pos[k]} " + " ".join(f"{x:.6f}" for x in freqs[k])
+            for k in range(c0, hi)
+        ))
+        f.write("\n")
 
 
 def write_sample_weights(f, alignment: Alignment) -> None:
