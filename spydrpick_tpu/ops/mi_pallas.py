@@ -100,20 +100,24 @@ def _mi_from_block(C, ipf, jpf, pc, bj=BJ, interpret=False, concat=False):
     ipc = ipf[:, None]
     R = _rowsum5(A)                        # (128, 640) unmasked row sums
     lnR = _ln_pos(R)
+    # joint-entropy numerator G1 = sum_{s1,s2} pm*A*lnA: reduce the
+    # i-states FIRST (major-axis reshape-sum, cheap VPU adds) so the
+    # Mj-dot and its bf16 split run on a (bi, bj*5) operand instead of
+    # (bi*5, bj*5) — 5x less MXU work and 5x fewer split conversions.
+    # Equal up to f32 summation order (the 5-term pre-sum replaces the
+    # dot's interleaved accumulation).
+    T1r = _rowsum5(A * lnA * ipc)          # (128, 640)
     if concat:
-        n5 = A.shape[0]
-        bt = sdot(jnp.concatenate([A, A * lnA], axis=0), Mj)  # (2*bi5, bj)
-        B, T1 = bt[:n5], bt[n5:]           # masked col sums / entropy
         bi_n = R.shape[0]
-        gs = sdot(jnp.concatenate([R * lnR, R], axis=0), Mj)  # (2*bi, bj)
-        Gi_, Si_ = gs[:bi_n], gs[bi_n:]
+        gs = sdot(jnp.concatenate([T1r, R * lnR, R], axis=0), Mj)
+        G1, Gi_, Si_ = gs[:bi_n], gs[bi_n:2 * bi_n], gs[2 * bi_n:]
+        B = sdot(A, Mj)                    # (640, 128) masked col sums
     else:
         B = sdot(A, Mj)                    # (640, 128) masked col sums
-        T1 = sdot(A * lnA, Mj)
+        G1 = sdot(T1r, Mj)                 # (128, 128) sum pm*A*lnA
         Gi_ = sdot(R * lnR, Mj)            # (128, 128)
         Si_ = sdot(R, Mj)
     Z = _rowsum5(B * ipc)                  # (128, 128)
-    G1 = _rowsum5(T1 * ipc)                # sum pm*A*lnA
     lnB = _ln_pos(B)
     Gj_ = _rowsum5(B * lnB * ipc)          # i-marginal entropy numerator
     # j-marginal uses the FULL row sum over all i-states (mi.hpp:173)
