@@ -167,3 +167,45 @@ def test_cli_full_run(fasta_path, tmp_path):
     ])
     assert rc == 0
     assert any("spydrpick_couplings" in p.name for p in tmp_path.iterdir())
+
+
+def test_pipeline_nothing_to_do_exits_zero(tmp_path):
+    """Every column filtered out -> 'nothing to do', exit SUCCESS
+    (reference semantics, SpydrPick.cpp:257-265)."""
+    # monomorphic alignment: no column has >1 non-gap allele
+    al = random_alignment(n_samples=20, n_loci=10, seed=1)
+    al.codes[:] = 2
+    p = _write_test_fasta(tmp_path, al, "mono.fasta")
+    opts = PipelineOptions(alignmentfile=str(p), mi_threshold=0.05,
+                           output_dir=str(tmp_path))
+    with pytest.raises(SystemExit) as e:
+        run_pipeline(opts)
+    assert e.value.code in (0, None)
+
+
+def test_pipeline_tiny_alignment_under_tile(tmp_path):
+    """L far below the tile size (512 default) must pad cleanly through
+    the whole pipeline."""
+    al = random_alignment(n_samples=30, n_loci=5, seed=2)
+    p = _write_test_fasta(tmp_path, al, "tiny.fasta")
+    opts = PipelineOptions(alignmentfile=str(p), mi_threshold=0.0,
+                           no_filter_alignment=True,
+                           no_sample_reweighting=True,
+                           output_dir=str(tmp_path))
+    res = run_pipeline(opts)
+    assert 0 < res.edges.n_edges <= 5 * 4 // 2
+    lines = open(res.couplings_path).read().strip().split("\n")
+    assert len(lines) == res.edges.n_edges
+
+
+def test_pipeline_auto_threshold_too_small_is_clean_error(tmp_path):
+    """Auto threshold on an alignment with fewer possible pairs than
+    the target count must raise the explanatory ValueError, not an
+    opaque partition error."""
+    al = random_alignment(n_samples=30, n_loci=8, seed=3)
+    p = _write_test_fasta(tmp_path, al, "small.fasta")
+    opts = PipelineOptions(alignmentfile=str(p), mi_threshold=-1.0,
+                           no_filter_alignment=True,
+                           output_dir=str(tmp_path))
+    with pytest.raises(ValueError, match="mi-threshold"):
+        run_pipeline(opts)
