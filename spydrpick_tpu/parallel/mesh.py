@@ -532,16 +532,25 @@ def sharded_sweep(
 
     drains: dict[int, object] = {}
 
-    def drain_now(mi_s, wog_s, ip_s, jp_s, colmax_d, offs):
-        """Gather valid store line-prefixes from every device
-        (replicated outputs; ``offs`` is per-device line counts).
-        In lazy mode the returned wog is a COPY of mi (the post-hoc
-        candidate resolver overwrites outlier rows at the end)."""
+    def drain_enqueue(mi_s, wog_s, ip_s, jp_s, colmax_d, offs):
+        """Dispatch the collective gather of valid store line-prefixes
+        (replicated outputs; ``offs`` is per-device line counts) and
+        start its host copies — materialisation is deferred, so epoch
+        drains do not stall the dispatch loop (the single-chip packed
+        drain's design).  Returns (device result tree, offs copy)."""
         m = max(int(offs.max()), 1)
         m = min(-(-m // _DRAIN_GRAIN) * _DRAIN_GRAIN, cap_lines)
         if m not in drains:
             drains[m] = make_drain(mesh, st, m)
         res = drains[m](mi_s, wog_s, ip_s, jp_s, colmax_d)
+        for leaf in jax.tree.leaves(res):
+            leaf.copy_to_host_async()
+        return res, np.array(offs)
+
+    def drain_collect(res, offs):
+        """Materialise one enqueued drain into host edge arrays.
+        In lazy mode the returned wog is a COPY of mi (the post-hoc
+        candidate resolver overwrites outlier rows at the end)."""
         if lazy:
             g_mi, g_ip, g_jp, cm = jax.tree.map(np.asarray, res)
             g_wog = None
@@ -563,14 +572,25 @@ def sharded_sweep(
         cat = lambda xs: np.concatenate(xs) if xs else np.empty(0)
         return tuple(cat(x) for x in outs) + (cm[:L].astype(np.float64),)
 
+    def drain_now(mi_s, wog_s, ip_s, jp_s, colmax_d, offs):
+        return drain_collect(*drain_enqueue(
+            mi_s, wog_s, ip_s, jp_s, colmax_d, offs))
+
     overflow_items: list[tuple[int, int | None]] = []  # (i0, jc0)
     expected_off = np.zeros(n_dev, np.int64)
     offs_np = np.zeros(n_dev, np.int32)
-    # epoch-drained pieces (filtered of truncated overflow rows at drain
-    # time — a row's overflow is detected in its own batch, before any
-    # later drain, so the current overflow_items list always covers the
-    # drained data); same design as MIEngine.sweep's packed epochs
-    ep_i: list = []
+    # epoch-drained pieces.  Uncheckpointed runs defer materialisation:
+    # the collective gather is dispatched and its host copies started,
+    # but the numpy assembly waits until the end of the sweep (the
+    # dispatch loop never stalls on a drain — the single-chip packed
+    # drain's design).  Checkpointed runs materialise synchronously
+    # (snapshots need the values).  Overflow filtering happens on the
+    # combined arrays with the FINAL overflow list — a row's overflow
+    # is detected in its own batch, before any later drain, so the
+    # final list covers every drained piece.
+    packed = checkpoint_path is None
+    ep_raw: list = []   # deferred (device result tree, offs) pairs
+    ep_i: list = []     # materialised pieces (checkpointed runs)
     ep_j: list = []
     ep_m: list = []
     ep_w: list = []
@@ -599,12 +619,16 @@ def sharded_sweep(
             # recycle the per-device stores: drain everything written so
             # far, then continue appending from line 0 (capacity bounds
             # the drain cadence, not the sweep's total edges)
-            s_i, s_j, s_m, s_w, s_c = drain_filtered(
-                mi_s, wog_s, ip_s, jp_s, colmax_d, offs_np
-            )
-            ep_i.append(s_i); ep_j.append(s_j)
-            ep_m.append(s_m); ep_w.append(s_w)
-            colmax_host = np.maximum(colmax_host, s_c)
+            if packed:
+                ep_raw.append(drain_enqueue(
+                    mi_s, wog_s, ip_s, jp_s, colmax_d, offs_np))
+            else:
+                s_i, s_j, s_m, s_w, s_c = drain_filtered(
+                    mi_s, wog_s, ip_s, jp_s, colmax_d, offs_np
+                )
+                ep_i.append(s_i); ep_j.append(s_j)
+                ep_m.append(s_m); ep_w.append(s_w)
+                colmax_host = np.maximum(colmax_host, s_c)
             offset = shard_init((n_dev,), np.int32)
             expected_off[:] = 0
             offs_np = np.zeros(n_dev, np.int32)
@@ -688,17 +712,41 @@ def sharded_sweep(
     t_compute = time.perf_counter() - t_compute0
 
     t_fetch0 = time.perf_counter()
-    s_i, s_j, s_m, s_w, s_c = drain_filtered(
-        mi_s, wog_s, ip_s, jp_s, colmax_d, offs_np
-    )
-    t_fetch = time.perf_counter() - t_fetch0
-    colmax_host = np.maximum(colmax_host, s_c)
+    if packed:
+        # materialise the deferred epoch gathers + the final prefix,
+        # then filter ONCE with the complete overflow list
+        ep_raw.append(drain_enqueue(
+            mi_s, wog_s, ip_s, jp_s, colmax_d, offs_np))
+        pieces = [drain_collect(res, offs) for res, offs in ep_raw]
+        for piece in pieces:
+            colmax_host = np.maximum(colmax_host, piece[4])
+        cat0 = lambda k, dt: np.concatenate(
+            [p[k] for p in pieces]) if pieces else np.empty(0, dt)
+        s_i, s_j = cat0(0, np.int64), cat0(1, np.int64)
+        s_m, s_w = cat0(2, np.float64), cat0(3, np.float64)
+        if overflow_items:
+            srow = (s_i // T) * T
+            bad = np.zeros(len(s_i), bool)
+            for i0, jc0 in overflow_items:
+                b = srow == i0
+                if jc0 is not None:
+                    b &= (s_j >= jc0) & (s_j < jc0 + RW)
+                bad |= b
+            s_i, s_j = s_i[~bad], s_j[~bad]
+            s_m, s_w = s_m[~bad], s_w[~bad]
+        t_fetch = time.perf_counter() - t_fetch0
+    else:
+        s_i, s_j, s_m, s_w, s_c = drain_filtered(
+            mi_s, wog_s, ip_s, jp_s, colmax_d, offs_np
+        )
+        t_fetch = time.perf_counter() - t_fetch0
+        colmax_host = np.maximum(colmax_host, s_c)
 
-    cat0 = lambda xs, dt: np.concatenate(xs) if xs else np.empty(0, dt)
-    s_i = cat0(ep_i + [s_i], np.int64)
-    s_j = cat0(ep_j + [s_j], np.int64)
-    s_m = cat0(ep_m + [s_m], np.float64)
-    s_w = cat0(ep_w + [s_w], np.float64)
+        cat0 = lambda xs, dt: np.concatenate(xs) if xs else np.empty(0, dt)
+        s_i = cat0(ep_i + [s_i], np.int64)
+        s_j = cat0(ep_j + [s_j], np.int64)
+        s_m = cat0(ep_m + [s_m], np.float64)
+        s_w = cat0(ep_w + [s_w], np.float64)
 
     t_overflow0 = time.perf_counter()
     if overflow_items:
@@ -735,7 +783,7 @@ def sharded_sweep(
         timings["fetched_edges"] = int(offs_np.sum()) * LN + sum(
             len(x) for x in ep_i
         )
-        timings["epoch_drains"] = len(ep_i)
+        timings["epoch_drains"] = (len(ep_raw) - 1 if packed else len(ep_i))
 
     if checkpoint_path and jax.process_index() == 0:
         import os
