@@ -40,6 +40,10 @@ _COL_TILE = 8192
 # past this many codes bytes the codes stay on host and tiles stream
 # per dispatch (the 20k x 1M class exceeds one chip's HBM)
 _DEVICE_RESIDENT_BYTES = 4 << 30
+# an f32 accumulator holds integer counts exactly only below 2^24; any
+# single on-device f32 accumulation run must cover fewer columns than
+# this, with cross-run sums carried in host float64 (exact to 2^53)
+_EXACT_F32_COLS = 1 << 24
 
 
 def _match_accum(sl: jnp.ndarray, acc: jnp.ndarray) -> jnp.ndarray:
@@ -78,7 +82,7 @@ def _match_counts_step(sl: jnp.ndarray, acc: jnp.ndarray) -> jnp.ndarray:
 
 def sample_match_counts(alignment: Alignment,
                         tile: int = _COL_TILE) -> np.ndarray:
-    """(S, S) float32 matrix of identical-position counts between samples.
+    """(S, S) float64 matrix of identical-position counts between samples.
 
     Identity is computed over the current (filtered) alignment columns on
     the 5-state codes — gap==gap counts as a match, mirroring a Hamming
@@ -86,25 +90,40 @@ def sample_match_counts(alignment: Alignment,
     column tiles (exact: 0/1 bf16 operands, f32 accumulation); for
     alignments whose codes exceed ~4 GB the tiles stream from host
     instead, so width is bounded by host storage only.
+
+    Exactness: per-pair counts are integers; an f32 accumulator holds
+    them exactly only below 2^24.  Any single device accumulation run
+    therefore covers < 2^24 columns (alignments at or past that width
+    stream in bounded groups whose partial counts are summed in host
+    float64 — exact for any realistic width, counts < 2^53).
     """
     codes = alignment.codes
     S, L = codes.shape
     ct = min(tile, max(((L + 127) // 128) * 128, 128))
     Lp = -(-L // ct) * ct
-    if codes.nbytes <= _DEVICE_RESIDENT_BYTES:
+    if codes.nbytes <= _DEVICE_RESIDENT_BYTES and L < _EXACT_F32_COLS:
         if Lp != L:  # pad code 255 matches no state
             codes = np.pad(codes, [(0, 0), (0, Lp - L)],
                            constant_values=255)
         out = _match_counts_resident(jnp.asarray(codes), ct)
-        return np.asarray(out)
+        return np.asarray(out, dtype=np.float64)
+    acc64 = np.zeros((S, S), np.float64)
     acc = jnp.zeros((S, S), jnp.float32)
+    group_cols = 0
     for c0 in range(0, L, ct):
         sl = codes[:, c0 : c0 + ct]
         if sl.shape[1] < ct:
             sl = np.pad(sl, [(0, 0), (0, ct - sl.shape[1])],
                         constant_values=255)
         acc = _match_counts_step(jnp.asarray(sl), acc)
-    return np.asarray(acc)
+        group_cols += ct
+        if group_cols + ct > _EXACT_F32_COLS:
+            # flush before the f32 counts could reach 2^24
+            acc64 += np.asarray(acc, dtype=np.float64)
+            acc = jnp.zeros((S, S), jnp.float32)
+            group_cols = 0
+    acc64 += np.asarray(acc, dtype=np.float64)
+    return acc64
 
 
 def compute_sample_weights(

@@ -1258,98 +1258,105 @@ class MIEngine:
         # checkpointing requires synchronous resolves: a snapshot taken
         # with an unresolved in-flight group would hold its edges in the
         # store while done_rows lacks the rows -> duplicates on resume
-        depth = 1 if checkpoint_path else max(1, self.config.pipeline_depth)
-        t_compute0 = time.perf_counter()
-        t_setup = t_compute0 - t_setup0
-        for gi, (gw, group) in enumerate(groups):
-            pend_lines = sum(len(g) for g, *_ in inflight) * KL
-            if packed and expected_offset + pend_lines + len(group) * KL > cap_lines:
-                # next group might not fit: sync in-flight bookkeeping,
-                # then recycle the store (store writes clamp at
-                # cap_lines - KL, so this must happen *before* dispatch)
-                while inflight:
-                    resolve_one()
-                if expected_offset + len(group) * KL > cap_lines:
-                    epoch_drains += 1
-                    drain_epoch()
-            t0 = time.perf_counter()
-            rows_p = [it[0] for it in group] + [-1] * (G - len(group))
-            if gw == "win":
-                chunks_p = [it[1] for it in group] + [0] * (G - len(group))
-                (colmax_d, mi_s, wog_s, ip_s, jp_s, offset, total, counts,
-                 lines_a) = self._group_fn_win()(
-                    self.data, jnp.asarray(rows_p, jnp.int32),
-                    jnp.asarray(chunks_p, jnp.int32), thr,
-                    colmax_d, mi_s, wog_s, ip_s, jp_s, offset, total,
+        # any exception in the dispatch/fetch loop (capacity error,
+        # progress callback, checkpoint I/O) must still release the
+        # assembler and its in-flight device chunk references
+        try:
+            depth = 1 if checkpoint_path else max(1, self.config.pipeline_depth)
+            t_compute0 = time.perf_counter()
+            t_setup = t_compute0 - t_setup0
+            for gi, (gw, group) in enumerate(groups):
+                pend_lines = sum(len(g) for g, *_ in inflight) * KL
+                if packed and expected_offset + pend_lines + len(group) * KL > cap_lines:
+                    # next group might not fit: sync in-flight bookkeeping,
+                    # then recycle the store (store writes clamp at
+                    # cap_lines - KL, so this must happen *before* dispatch)
+                    while inflight:
+                        resolve_one()
+                    if expected_offset + len(group) * KL > cap_lines:
+                        epoch_drains += 1
+                        drain_epoch()
+                t0 = time.perf_counter()
+                rows_p = [it[0] for it in group] + [-1] * (G - len(group))
+                if gw == "win":
+                    chunks_p = [it[1] for it in group] + [0] * (G - len(group))
+                    (colmax_d, mi_s, wog_s, ip_s, jp_s, offset, total, counts,
+                     lines_a) = self._group_fn_win()(
+                        self.data, jnp.asarray(rows_p, jnp.int32),
+                        jnp.asarray(chunks_p, jnp.int32), thr,
+                        colmax_d, mi_s, wog_s, ip_s, jp_s, offset, total,
+                    )
+                else:
+                    (colmax_d, mi_s, wog_s, ip_s, jp_s, offset, total, counts,
+                     lines_a) = self._group_fn(gw)(
+                        self.data, jnp.asarray(rows_p, jnp.int32), thr,
+                        colmax_d, mi_s, wog_s, ip_s, jp_s, offset, total,
+                    )
+                counts.copy_to_host_async()
+                lines_a.copy_to_host_async()
+                inflight.append((group, counts, lines_a, t0))
+                while len(inflight) >= depth:
+                    resolve_one()  # depth 1: drains to empty (synchronous)
+                ck_rows += len(group)
+                if checkpoint_path and ck_rows >= checkpoint_every and gi < len(groups) - 1:
+                    ck_rows = 0
+                    s_i, s_j, s_m, s_w, s_c = self._fetch_stores(
+                        mi_s, wog_s, ip_s, jp_s, offset, colmax_d
+                    )
+                    # persist only rows that are COMPLETE and un-overflowed:
+                    # overflowed rows hold TRUNCATED edges in the store, and
+                    # windowed rows may be partially swept — both re-sweep on
+                    # resume (saving them as complete would silently lose
+                    # edges beyond the per-item window / the missing windows)
+                    save_done = done_rows - {i0 for i0, _ in overflow_items}
+                    keep = np.isin(
+                        (s_i // T) * T,
+                        np.fromiter(save_done, np.int64, len(save_done)),
+                    )
+                    s_i, s_j = s_i[keep], s_j[keep]
+                    s_m, s_w = s_m[keep], s_w[keep]
+                    ckpt_mod.save(
+                        checkpoint_path,
+                        ckpt_mod.SweepCheckpoint(
+                            ck_key, save_done, np.maximum(colmax, s_c),
+                            all_i + [s_i], all_j + [s_j],
+                            all_mi + [s_m], all_wog + [s_w],
+                        ),
+                    )
+
+            while inflight:
+                resolve_one()
+            t_compute = time.perf_counter() - t_compute0
+            # legacy drain keeps the whole sweep in the store: device appends
+            # clamp at cap-K lines, and expected_offset below that proves no
+            # append was ever clamped (the packed drain recycles instead)
+            if not packed and expected_offset > cap_lines - KL:
+                raise RuntimeError(
+                    f"edge store overflow: ~{expected_offset * LN} edge slots "
+                    f"exceed capacity {cap_lines * LN}; raise --mi-threshold or "
+                    f"the engine store_capacity"
                 )
+
+            t_fetch0 = time.perf_counter()
+            if packed:
+                drain_epoch()
+                collected = [f.result() for f in collected_futs]
+                _cat = lambda k, dt: (
+                    np.concatenate([c[k] for c in collected])
+                    if collected else np.empty(0, dt)
+                )
+                s_i, s_j = _cat(0, np.int64), _cat(1, np.int64)
+                s_m = _cat(2, np.float64)
+                s_w = _cat(3, np.float64) if wog_full else None
+                s_c = np.asarray(self._fetch_colmax(colmax_d), dtype=np.float64)
             else:
-                (colmax_d, mi_s, wog_s, ip_s, jp_s, offset, total, counts,
-                 lines_a) = self._group_fn(gw)(
-                    self.data, jnp.asarray(rows_p, jnp.int32), thr,
-                    colmax_d, mi_s, wog_s, ip_s, jp_s, offset, total,
-                )
-            counts.copy_to_host_async()
-            lines_a.copy_to_host_async()
-            inflight.append((group, counts, lines_a, t0))
-            while len(inflight) >= depth:
-                resolve_one()  # depth 1: drains to empty (synchronous)
-            ck_rows += len(group)
-            if checkpoint_path and ck_rows >= checkpoint_every and gi < len(groups) - 1:
-                ck_rows = 0
                 s_i, s_j, s_m, s_w, s_c = self._fetch_stores(
                     mi_s, wog_s, ip_s, jp_s, offset, colmax_d
                 )
-                # persist only rows that are COMPLETE and un-overflowed:
-                # overflowed rows hold TRUNCATED edges in the store, and
-                # windowed rows may be partially swept — both re-sweep on
-                # resume (saving them as complete would silently lose
-                # edges beyond the per-item window / the missing windows)
-                save_done = done_rows - {i0 for i0, _ in overflow_items}
-                keep = np.isin(
-                    (s_i // T) * T,
-                    np.fromiter(save_done, np.int64, len(save_done)),
-                )
-                s_i, s_j = s_i[keep], s_j[keep]
-                s_m, s_w = s_m[keep], s_w[keep]
-                ckpt_mod.save(
-                    checkpoint_path,
-                    ckpt_mod.SweepCheckpoint(
-                        ck_key, save_done, np.maximum(colmax, s_c),
-                        all_i + [s_i], all_j + [s_j],
-                        all_mi + [s_m], all_wog + [s_w],
-                    ),
-                )
-
-        while inflight:
-            resolve_one()
-        t_compute = time.perf_counter() - t_compute0
-        # legacy drain keeps the whole sweep in the store: device appends
-        # clamp at cap-K lines, and expected_offset below that proves no
-        # append was ever clamped (the packed drain recycles instead)
-        if not packed and expected_offset > cap_lines - KL:
-            raise RuntimeError(
-                f"edge store overflow: ~{expected_offset * LN} edge slots "
-                f"exceed capacity {cap_lines * LN}; raise --mi-threshold or "
-                f"the engine store_capacity"
-            )
-
-        t_fetch0 = time.perf_counter()
-        if packed:
-            drain_epoch()
-            collected = [f.result() for f in collected_futs]
-            _cat = lambda k, dt: (
-                np.concatenate([c[k] for c in collected])
-                if collected else np.empty(0, dt)
-            )
-            s_i, s_j = _cat(0, np.int64), _cat(1, np.int64)
-            s_m = _cat(2, np.float64)
-            s_w = _cat(3, np.float64) if wog_full else None
-            s_c = np.asarray(self._fetch_colmax(colmax_d), dtype=np.float64)
-        else:
-            s_i, s_j, s_m, s_w, s_c = self._fetch_stores(
-                mi_s, wog_s, ip_s, jp_s, offset, colmax_d
-            )
-        assembler.shutdown(wait=True)
+            assembler.shutdown(wait=True)
+        except BaseException:
+            assembler.shutdown(wait=False, cancel_futures=True)
+            raise
         t_fetch = time.perf_counter() - t_fetch0
         t_overflow0 = time.perf_counter()
         colmax = np.maximum(colmax, s_c)

@@ -43,18 +43,24 @@ def write_couplings(
     # default output.  Python fallback below is a chunked f-string loop
     # (~1.5 us/row); both produce byte-identical rows (locked by tests).
     if use_native:
+        # Only the native build/format step may fall back to Python: the
+        # actual file writes stay OUTSIDE the try so a partial write
+        # (e.g. ENOSPC) surfaces as an error instead of being silently
+        # re-emitted by the fallback after half the native rows landed.
+        data = None
         try:
             from spydrpick_tpu.native import format_native
 
             data = format_native.format_couplings(p1, p2, dist, fl, edges.mi)
+        except Exception:
+            pass  # fall back to Python formatting
+        if data is not None:
             if hasattr(f, "buffer"):  # text file: skip the str round-trip
                 f.flush()
                 f.buffer.write(data)
             else:
                 f.write(data.decode("ascii"))
             return
-        except Exception:
-            pass  # fall back to Python formatting
     mi = edges.mi
     out = []
     for c0 in range(0, len(mi), 1 << 18):

@@ -61,7 +61,9 @@ extern "C" int64_t spydrpick_format_couplings(
         if (lo >= hi) continue;
         std::string& s = bufs[static_cast<size_t>(t)];
         s.reserve(static_cast<size_t>((hi - lo) * 40));
-        char row[128];
+        // worst case: three 20-char int64 fields + flag + 4 separators +
+        // a 63-char clamped MI field + '\n' = 129 bytes; 192 is headroom
+        char row[192];
         for (int64_t k = lo; k < hi; ++k) {
             char* p = row;
             p = put_i64(p, p1[k]);
@@ -72,7 +74,12 @@ extern "C" int64_t spydrpick_format_couplings(
             *p++ = ' ';
             *p++ = static_cast<char>('0' + (flags[k] ? 1 : 0));
             *p++ = ' ';
-            p += snprintf(p, 64, "%.6f", mi[k]);
+            // snprintf returns the WOULD-BE length on truncation; clamp
+            // the advance so a pathological MI (|mi| >= ~1e57, inf/nan
+            // garbage) cannot walk p past the buffer it wrote into
+            int w = snprintf(p, 64, "%.6f", mi[k]);
+            if (w < 0) w = 0;
+            p += (w < 64 ? w : 63);
             *p++ = '\n';
             s.append(row, static_cast<size_t>(p - row));
         }

@@ -589,7 +589,18 @@ def sharded_sweep(
     # is detected in its own batch, before any later drain, so the
     # final list covers every drained piece.
     packed = checkpoint_path is None
-    ep_raw: list = []   # deferred (device result tree, offs) pairs
+    # packed epochs materialise on ONE worker thread (the single-chip
+    # sweep's assembler pattern): the collective gather is dispatched on
+    # the dispatch loop, but its numpy assembly — and therefore the
+    # release of the replicated (n_dev, m, LN) device buffers — happens
+    # off-loop as soon as the async host copies land.  Keeping the raw
+    # device trees until the end of the sweep would hold EVERY epoch's
+    # gather in HBM simultaneously, defeating the epoch-recycling
+    # design on large-edge runs.
+    from concurrent.futures import ThreadPoolExecutor
+
+    assembler = ThreadPoolExecutor(1)
+    ep_futs: list = []  # deferred materialisation futures (packed runs)
     ep_i: list = []     # materialised pieces (checkpointed runs)
     ep_j: list = []
     ep_m: list = []
@@ -611,142 +622,154 @@ def sharded_sweep(
             s_m, s_w = s_m[~bad], s_w[~bad]
         return s_i, s_j, s_m, s_w, s_c
 
-    ck_rows = 0
-    t_compute0 = time.perf_counter()
-    steps = [order[s0 : s0 + per_step] for s0 in range(0, len(order), per_step)]
-    for batch in steps:
-        if (expected_off + G * KL > cap_lines).any():
-            # recycle the per-device stores: drain everything written so
-            # far, then continue appending from line 0 (capacity bounds
-            # the drain cadence, not the sweep's total edges)
-            if packed:
-                ep_raw.append(drain_enqueue(
-                    mi_s, wog_s, ip_s, jp_s, colmax_d, offs_np))
+    # exceptions in the dispatch/fetch loop must still release the
+    # assembler and its deferred epoch gathers (device references)
+    try:
+        ck_rows = 0
+        t_compute0 = time.perf_counter()
+        steps = [order[s0 : s0 + per_step] for s0 in range(0, len(order), per_step)]
+        for batch in steps:
+            if (expected_off + G * KL > cap_lines).any():
+                # recycle the per-device stores: drain everything written so
+                # far, then continue appending from line 0 (capacity bounds
+                # the drain cadence, not the sweep's total edges)
+                if packed:
+                    res, offs_c = drain_enqueue(
+                        mi_s, wog_s, ip_s, jp_s, colmax_d, offs_np)
+                    ep_futs.append(assembler.submit(drain_collect, res, offs_c))
+                    del res
+                else:
+                    s_i, s_j, s_m, s_w, s_c = drain_filtered(
+                        mi_s, wog_s, ip_s, jp_s, colmax_d, offs_np
+                    )
+                    ep_i.append(s_i); ep_j.append(s_j)
+                    ep_m.append(s_m); ep_w.append(s_w)
+                    colmax_host = np.maximum(colmax_host, s_c)
+                offset = shard_init((n_dev,), np.int32)
+                expected_off[:] = 0
+                offs_np = np.zeros(n_dev, np.int32)
+            t0 = time.perf_counter()
+            # device d gets batch[d::n_dev]: a cheap/expensive mix from the
+            # balanced interleaving
+            starts = np.full((n_dev, G), -1, np.int32)
+            chunks = np.zeros((n_dev, G), np.int32)
+            for d in range(n_dev):
+                mine = batch[d::n_dev]
+                starts[d, : len(mine)] = [it[0] for it in mine]
+                if RW:
+                    chunks[d, : len(mine)] = [it[1] for it in mine]
+            starts_d = jax.device_put(starts, row_spec)
+            if RW:
+                chunks_d = jax.device_put(chunks, row_spec)
+                (colmax_d, mi_s, wog_s, ip_s, jp_s, offset, total,
+                 counts, lines_b, offs) = step(
+                    data, starts_d, chunks_d, thr, colmax_d, mi_s, wog_s,
+                    ip_s, jp_s, offset, total,
+                )
             else:
+                (colmax_d, mi_s, wog_s, ip_s, jp_s, offset, total,
+                 counts, lines_b, offs) = step(
+                    data, starts_d, thr, colmax_d, mi_s, wog_s, ip_s, jp_s,
+                    offset, total,
+                )
+            counts_np = np.asarray(counts)  # replicated: safe on any process
+            lines_np = np.asarray(lines_b)
+            offs_np = np.asarray(offs)
+            for d in range(n_dev):
+                for g in range(G):
+                    i0 = int(starts[d, g])
+                    if i0 < 0:
+                        continue
+                    jc0 = int(chunks[d, g]) if RW else None
+                    if RW:
+                        row_pending[i0] -= 1
+                        if row_pending[i0] == 0:
+                            done_rows.add(i0)
+                    else:
+                        done_rows.add(i0)
+                    n = int(counts_np[d, g])
+                    expected_off[d] += min(int(lines_np[d, g]), KL)
+                    if n > K_eff:
+                        overflow_items.append((i0, jc0))
+            if progress is not None:
+                live = starts[starts >= 0]
+                progress(int(live.min()), int(live.max()) + T,
+                         int(counts_np.sum()), time.perf_counter() - t0)
+            ck_rows += per_step
+            if checkpoint_path and ck_rows >= checkpoint_every and batch is not steps[-1]:
+                ck_rows = 0
                 s_i, s_j, s_m, s_w, s_c = drain_filtered(
                     mi_s, wog_s, ip_s, jp_s, colmax_d, offs_np
                 )
-                ep_i.append(s_i); ep_j.append(s_j)
-                ep_m.append(s_m); ep_w.append(s_w)
-                colmax_host = np.maximum(colmax_host, s_c)
-            offset = shard_init((n_dev,), np.int32)
-            expected_off[:] = 0
-            offs_np = np.zeros(n_dev, np.int32)
-        t0 = time.perf_counter()
-        # device d gets batch[d::n_dev]: a cheap/expensive mix from the
-        # balanced interleaving
-        starts = np.full((n_dev, G), -1, np.int32)
-        chunks = np.zeros((n_dev, G), np.int32)
-        for d in range(n_dev):
-            mine = batch[d::n_dev]
-            starts[d, : len(mine)] = [it[0] for it in mine]
-            if RW:
-                chunks[d, : len(mine)] = [it[1] for it in mine]
-        starts_d = jax.device_put(starts, row_spec)
-        if RW:
-            chunks_d = jax.device_put(chunks, row_spec)
-            (colmax_d, mi_s, wog_s, ip_s, jp_s, offset, total,
-             counts, lines_b, offs) = step(
-                data, starts_d, chunks_d, thr, colmax_d, mi_s, wog_s,
-                ip_s, jp_s, offset, total,
-            )
+                # persist only COMPLETE, un-overflowed rows (windowed rows
+                # may be partially swept at this point — they re-sweep on
+                # resume; the already-drained epoch pieces keep their edges
+                # for the live run's final assembly)
+                save_done = done_rows - {i0 for i0, _ in overflow_items}
+                if jax.process_index() == 0:
+                    cat = lambda xs, dt: (
+                        np.concatenate(xs) if xs else np.empty(0, dt))
+                    c_i = cat(all_i + ep_i + [s_i], np.int64)
+                    c_j = cat(all_j + ep_j + [s_j], np.int64)
+                    c_m = cat(all_mi + ep_m + [s_m], np.float64)
+                    c_w = cat(all_wog + ep_w + [s_w], np.float64)
+                    keep = np.isin(
+                        (c_i // T) * T,
+                        np.fromiter(save_done, np.int64, len(save_done)),
+                    )
+                    ckpt_mod.save(
+                        checkpoint_path,
+                        ckpt_mod.SweepCheckpoint(
+                            ck_key, save_done, np.maximum(colmax_host, s_c),
+                            [c_i[keep]], [c_j[keep]],
+                            [c_m[keep]], [c_w[keep]],
+                        ),
+                    )
+        t_compute = time.perf_counter() - t_compute0
+
+        t_fetch0 = time.perf_counter()
+        if packed:
+            # materialise the deferred epoch gathers + the final prefix,
+            # then filter ONCE with the complete overflow list
+            res, offs_c = drain_enqueue(
+                mi_s, wog_s, ip_s, jp_s, colmax_d, offs_np)
+            ep_futs.append(assembler.submit(drain_collect, res, offs_c))
+            del res
+            pieces = [f.result() for f in ep_futs]
+            for piece in pieces:
+                colmax_host = np.maximum(colmax_host, piece[4])
+            cat0 = lambda k, dt: np.concatenate(
+                [p[k] for p in pieces]) if pieces else np.empty(0, dt)
+            s_i, s_j = cat0(0, np.int64), cat0(1, np.int64)
+            s_m, s_w = cat0(2, np.float64), cat0(3, np.float64)
+            if overflow_items:
+                srow = (s_i // T) * T
+                bad = np.zeros(len(s_i), bool)
+                for i0, jc0 in overflow_items:
+                    b = srow == i0
+                    if jc0 is not None:
+                        b &= (s_j >= jc0) & (s_j < jc0 + RW)
+                    bad |= b
+                s_i, s_j = s_i[~bad], s_j[~bad]
+                s_m, s_w = s_m[~bad], s_w[~bad]
+            t_fetch = time.perf_counter() - t_fetch0
         else:
-            (colmax_d, mi_s, wog_s, ip_s, jp_s, offset, total,
-             counts, lines_b, offs) = step(
-                data, starts_d, thr, colmax_d, mi_s, wog_s, ip_s, jp_s,
-                offset, total,
-            )
-        counts_np = np.asarray(counts)  # replicated: safe on any process
-        lines_np = np.asarray(lines_b)
-        offs_np = np.asarray(offs)
-        for d in range(n_dev):
-            for g in range(G):
-                i0 = int(starts[d, g])
-                if i0 < 0:
-                    continue
-                jc0 = int(chunks[d, g]) if RW else None
-                if RW:
-                    row_pending[i0] -= 1
-                    if row_pending[i0] == 0:
-                        done_rows.add(i0)
-                else:
-                    done_rows.add(i0)
-                n = int(counts_np[d, g])
-                expected_off[d] += min(int(lines_np[d, g]), KL)
-                if n > K_eff:
-                    overflow_items.append((i0, jc0))
-        if progress is not None:
-            live = starts[starts >= 0]
-            progress(int(live.min()), int(live.max()) + T,
-                     int(counts_np.sum()), time.perf_counter() - t0)
-        ck_rows += per_step
-        if checkpoint_path and ck_rows >= checkpoint_every and batch is not steps[-1]:
-            ck_rows = 0
             s_i, s_j, s_m, s_w, s_c = drain_filtered(
                 mi_s, wog_s, ip_s, jp_s, colmax_d, offs_np
             )
-            # persist only COMPLETE, un-overflowed rows (windowed rows
-            # may be partially swept at this point — they re-sweep on
-            # resume; the already-drained epoch pieces keep their edges
-            # for the live run's final assembly)
-            save_done = done_rows - {i0 for i0, _ in overflow_items}
-            if jax.process_index() == 0:
-                cat = lambda xs, dt: (
-                    np.concatenate(xs) if xs else np.empty(0, dt))
-                c_i = cat(all_i + ep_i + [s_i], np.int64)
-                c_j = cat(all_j + ep_j + [s_j], np.int64)
-                c_m = cat(all_mi + ep_m + [s_m], np.float64)
-                c_w = cat(all_wog + ep_w + [s_w], np.float64)
-                keep = np.isin(
-                    (c_i // T) * T,
-                    np.fromiter(save_done, np.int64, len(save_done)),
-                )
-                ckpt_mod.save(
-                    checkpoint_path,
-                    ckpt_mod.SweepCheckpoint(
-                        ck_key, save_done, np.maximum(colmax_host, s_c),
-                        [c_i[keep]], [c_j[keep]],
-                        [c_m[keep]], [c_w[keep]],
-                    ),
-                )
-    t_compute = time.perf_counter() - t_compute0
+            t_fetch = time.perf_counter() - t_fetch0
+            colmax_host = np.maximum(colmax_host, s_c)
 
-    t_fetch0 = time.perf_counter()
-    if packed:
-        # materialise the deferred epoch gathers + the final prefix,
-        # then filter ONCE with the complete overflow list
-        ep_raw.append(drain_enqueue(
-            mi_s, wog_s, ip_s, jp_s, colmax_d, offs_np))
-        pieces = [drain_collect(res, offs) for res, offs in ep_raw]
-        for piece in pieces:
-            colmax_host = np.maximum(colmax_host, piece[4])
-        cat0 = lambda k, dt: np.concatenate(
-            [p[k] for p in pieces]) if pieces else np.empty(0, dt)
-        s_i, s_j = cat0(0, np.int64), cat0(1, np.int64)
-        s_m, s_w = cat0(2, np.float64), cat0(3, np.float64)
-        if overflow_items:
-            srow = (s_i // T) * T
-            bad = np.zeros(len(s_i), bool)
-            for i0, jc0 in overflow_items:
-                b = srow == i0
-                if jc0 is not None:
-                    b &= (s_j >= jc0) & (s_j < jc0 + RW)
-                bad |= b
-            s_i, s_j = s_i[~bad], s_j[~bad]
-            s_m, s_w = s_m[~bad], s_w[~bad]
-        t_fetch = time.perf_counter() - t_fetch0
-    else:
-        s_i, s_j, s_m, s_w, s_c = drain_filtered(
-            mi_s, wog_s, ip_s, jp_s, colmax_d, offs_np
-        )
-        t_fetch = time.perf_counter() - t_fetch0
-        colmax_host = np.maximum(colmax_host, s_c)
+            cat0 = lambda xs, dt: np.concatenate(xs) if xs else np.empty(0, dt)
+            s_i = cat0(ep_i + [s_i], np.int64)
+            s_j = cat0(ep_j + [s_j], np.int64)
+            s_m = cat0(ep_m + [s_m], np.float64)
+            s_w = cat0(ep_w + [s_w], np.float64)
 
-        cat0 = lambda xs, dt: np.concatenate(xs) if xs else np.empty(0, dt)
-        s_i = cat0(ep_i + [s_i], np.int64)
-        s_j = cat0(ep_j + [s_j], np.int64)
-        s_m = cat0(ep_m + [s_m], np.float64)
-        s_w = cat0(ep_w + [s_w], np.float64)
+        assembler.shutdown(wait=True)
+    except BaseException:
+        assembler.shutdown(wait=False, cancel_futures=True)
+        raise
 
     t_overflow0 = time.perf_counter()
     if overflow_items:
@@ -783,7 +806,7 @@ def sharded_sweep(
         timings["fetched_edges"] = int(offs_np.sum()) * LN + sum(
             len(x) for x in ep_i
         )
-        timings["epoch_drains"] = (len(ep_raw) - 1 if packed else len(ep_i))
+        timings["epoch_drains"] = (len(ep_futs) - 1 if packed else len(ep_i))
 
     if checkpoint_path and jax.process_index() == 0:
         import os

@@ -96,6 +96,27 @@ def test_match_counts_streaming_path_parity(monkeypatch):
     np.testing.assert_array_equal(resident, ref)
 
 
+def test_match_counts_f64_group_flush(monkeypatch):
+    """Alignments wider than the f32-exact bound flush partial counts
+    into a host float64 accumulator per column group; shrinking the
+    bound must not change the result (ADVICE r3: past ~16.7M columns
+    f32 accumulation silently loses integer exactness)."""
+    from spydrpick_tpu.core import weights as W
+
+    al = random_alignment(16, 700, seed=11, gap_frac=0.15)
+    base = W.sample_match_counts(al, tile=128)
+    # force the streaming path AND a flush every two 128-col tiles
+    monkeypatch.setattr(W, "_DEVICE_RESIDENT_BYTES", 0)
+    monkeypatch.setattr(W, "_EXACT_F32_COLS", 256)
+    flushed = W.sample_match_counts(al, tile=128)
+    assert flushed.dtype == np.float64
+    np.testing.assert_array_equal(base, flushed)
+    # resident path must also reroute to streaming past the bound
+    monkeypatch.setattr(W, "_DEVICE_RESIDENT_BYTES", 1 << 40)
+    rerouted = W.sample_match_counts(al, tile=128)
+    np.testing.assert_array_equal(base, rerouted)
+
+
 def test_weights_count_gap_as_state():
     # gap==gap counts as identity (5-state Hamming)
     codes = np.array([[4, 4, 0, 1], [4, 4, 0, 1]], dtype=np.uint8)
