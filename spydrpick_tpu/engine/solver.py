@@ -173,12 +173,6 @@ class SweepStatics:
     # When set, Lp is a multiple of it and the sweep iterates
     # (block-row, j-window) work items with traced window starts.
     row_window: int = 0
-    # whole-row pallas_call (ops/mi_pallas.mi_row_pallas): one kernel
-    # launch per block-row with xj blocks streamed straight from the
-    # full one-hot — eliminates the per-tile XLA slice copies and
-    # per-tile launches (dense-onehot, full-width, lazy path only).
-    # Gated by SPYDRPICK_PALLAS_ROWCALL until hardware-validated.
-    row_call: bool = False
 
     @property
     def cdtype(self):
@@ -401,26 +395,6 @@ def row_buffers(data: DeviceData, st: SweepStatics, i0,
             xi_hi, xi_lo = split_bf16(xi_w.astype(jnp.float32))
     else:
         xi_w = xi_w.astype(bd)
-
-    if (st.row_call and st.use_pallas and not dual and jc0 is None
-            and not st.onehot_codes and st.psum_axis is None
-            and st.storage_dtype == "bfloat16" and W % st.pallas_bj == 0):
-        # whole-row kernel: one pallas_call covers every j-tile of the
-        # block-row; tiles left of the diagonal are skipped in-kernel
-        # and their output blocks hold garbage, which the caller's
-        # upper-triangle masks (row_masks) never read
-        from spydrpick_tpu.ops.mi_pallas import mi_row_pallas
-
-        ipf = jax.lax.dynamic_slice_in_dim(data.presence, i0, T, 0)
-        mi = mi_row_pallas(
-            xi_hi, xi_lo, data.onehot,
-            ipf.reshape(-1).astype(jnp.float32),
-            data.presence.reshape(-1).astype(jnp.float32),
-            i0 // st.pallas_bj,
-            pseudocount=st.pseudocount, bs=st.pallas_bs,
-            bi=st.pallas_bi, bj=st.pallas_bj,
-        )
-        return mi.astype(bd), None
 
     mi_buf = jnp.full((T, W), -jnp.inf, dtype=bd)
     wog_buf = jnp.full((T, W), -jnp.inf, dtype=bd) if dual else None
@@ -934,10 +908,6 @@ def build_device_data(alignment: Alignment, config: EngineConfig) -> tuple[Devic
         onehot_codes=oh_mode == "codes",
         storage_dtype=str(jnp.dtype(sdtype)),
         row_window=rw,
-        row_call=(
-            os.environ.get("SPYDRPICK_PALLAS_ROWCALL", "0") == "1"
-            and use_pallas and oh_mode != "codes"
-        ),
     )
     return data, statics
 
@@ -945,10 +915,18 @@ def build_device_data(alignment: Alignment, config: EngineConfig) -> tuple[Devic
 class MIEngine:
     """Holds device-resident alignment tensors and jitted sweep programs."""
 
-    def __init__(self, alignment: Alignment, config: EngineConfig = EngineConfig()):
+    def __init__(self, alignment: Alignment, config: EngineConfig = EngineConfig(),
+                 _prebuilt: tuple | None = None):
         self.alignment = alignment
         self.config = config
-        self.data, self.statics = build_device_data(alignment, config)
+        # _prebuilt: (data, statics) from an existing engine — lets two
+        # engines with different static schedules share one set of
+        # device-resident alignment tensors (in-process kernel A/Bs;
+        # the statics must describe the same data layout)
+        if _prebuilt is not None:
+            self.data, self.statics = _prebuilt
+        else:
+            self.data, self.statics = build_device_data(alignment, config)
         self.L = self.statics.L
         self.S = self.statics.S
         self.Lp = self.statics.Lp

@@ -461,102 +461,6 @@ def mi_epilogue_pallas(
     return res
 
 
-def _kernel_row(*refs, pc, n_k, bj, interpret, n_passes):
-    """Whole-row kernel body: like _kernel_single but the j grid axis
-    spans EVERY tile of the block-row, with xj blocks streamed straight
-    from the full one-hot (no per-tile XLA slice copies, one launch per
-    row instead of one per tile).  ``start_ref`` (SMEM) holds the first
-    live j-tile (the diagonal); earlier tiles skip compute entirely —
-    their output blocks hold garbage that the caller's upper-triangle
-    masks drop."""
-    if n_passes == 2:
-        (start_ref, xi_hi_ref, xi_lo_ref, xj_ref, ipf_ref, jpf_ref,
-         mi_ref, C_scratch) = refs
-    else:
-        (start_ref, xi_hi_ref, xj_ref, ipf_ref, jpf_ref, mi_ref,
-         C_scratch) = refs
-    j = pl.program_id(1)
-    k = pl.program_id(2)
-    live = j >= start_ref[0]
-
-    @pl.when(live & (k == 0))
-    def _():
-        C_scratch[:] = jnp.zeros_like(C_scratch)
-
-    contract = lambda a, b: jax.lax.dot_general(
-        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-    @pl.when(live)
-    def _():
-        C_scratch[:] += contract(xi_hi_ref[:], xj_ref[:])
-        if n_passes == 2:
-            C_scratch[:] += contract(xi_lo_ref[:], xj_ref[:])
-
-    @pl.when(live & (k == n_k - 1))
-    def _():
-        mi_ref[:] = _mi_from_block(
-            C_scratch[:], ipf_ref[0, :], jpf_ref[0, :], pc, bj, interpret
-        )
-
-
-def mi_row_pallas(
-    xi_hi: jnp.ndarray,          # (S, TI*5) bf16 weighted one-hot (hi)
-    xi_lo: jnp.ndarray | None,   # (S, TI*5) bf16 residual, or None
-    xj_full: jnp.ndarray,        # (S, Lp*5) bf16 one-hot, ENTIRE row space
-    ipf: jnp.ndarray,            # (TI*5,) f32 presence of the i-tile
-    jpf_full: jnp.ndarray,       # (Lp*5,) f32 presence, full width
-    start_tile,                  # () int32 first live j-tile (traced)
-    pseudocount: float = 0.5,
-    interpret: bool | None = None,
-    bs: int = BS,
-    bi: int = BI,
-    bj: int = BJ,
-) -> jnp.ndarray:
-    """mi (TI, Lp) f32 for one whole block-row in ONE pallas_call.
-
-    Identical math to mi_tile_pallas_single per tile; j-tiles left of
-    ``start_tile`` are skipped (their output blocks are garbage — the
-    engine's upper-triangle masks never read them)."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    S, TI5 = xi_hi.shape
-    Lp5 = xj_full.shape[1]
-    TI, Lp = TI5 // N_STATES, Lp5 // N_STATES
-    n_passes = 1 if xi_lo is None else 2
-    assert S % bs == 0 and TI % bi == 0 and Lp % bj == 0, (S, TI, Lp)
-    n_k = S // bs
-    grid = (TI // bi, Lp // bj, n_k)
-    kernel = functools.partial(_kernel_row, pc=pseudocount, n_k=n_k, bj=bj,
-                               interpret=interpret, n_passes=n_passes)
-    xi_spec = pl.BlockSpec((bs, bi * N_STATES), lambda i, j, k: (k, i))
-    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + \
-        [xi_spec] * n_passes + [
-        pl.BlockSpec((bs, bj * N_STATES), lambda i, j, k: (k, j)),
-        pl.BlockSpec((1, bi * N_STATES), lambda i, j, k: (0, i)),
-        pl.BlockSpec((1, bj * N_STATES), lambda i, j, k: (0, j)),
-    ]
-    args = (jnp.asarray(start_tile, jnp.int32).reshape(1),) + (
-        (xi_hi,) if xi_lo is None else (xi_hi, xi_lo)) + (
-        xj_full, ipf.reshape(1, -1), jpf_full.reshape(1, -1),
-    )
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((bi, bj), lambda i, j, k: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((TI, Lp), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((bi * N_STATES, bj * N_STATES), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(*args)
-
-
 def split_bf16(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """f32 -> (hi, lo) bf16 pair with hi + lo ~ x (residual ~2^-16 rel).
 

@@ -54,25 +54,3 @@ def test_pallas_unit_weights_single_pass():
     for k in set(xm) ^ set(pm):
         m = xm.get(k, pm.get(k))
         assert abs(m - 0.05) < 1e-4, (k, m)
-
-
-def test_row_call_kernel_matches_per_tile(monkeypatch):
-    """The whole-row pallas_call (one launch per block-row, xj streamed
-    from the full one-hot, diagonal skip in-kernel) must produce the
-    bit-identical sweep to the per-tile kernel (interpret mode)."""
-    al = random_alignment(n_samples=40, n_loci=3 * BI, seed=81,
-                          gap_frac=0.12)
-    monkeypatch.setenv("SPYDRPICK_PALLAS_ROWCALL", "1")
-    e_row = MIEngine(al, EngineConfig(tile=BI, use_pallas="on",
-                                      wog_fetch="outliers"))
-    assert e_row.statics.row_call
-    row = e_row.sweep(0.03).sort_desc()
-    monkeypatch.setenv("SPYDRPICK_PALLAS_ROWCALL", "0")
-    e_tile = MIEngine(al, EngineConfig(tile=BI, use_pallas="on",
-                                       wog_fetch="outliers"))
-    assert not e_tile.statics.row_call
-    tile = e_tile.sweep(0.03).sort_desc()
-    np.testing.assert_array_equal(row.ipos, tile.ipos)
-    np.testing.assert_array_equal(row.jpos, tile.jpos)
-    np.testing.assert_array_equal(row.mi, tile.mi)
-    np.testing.assert_array_equal(row.colmax, tile.colmax)
