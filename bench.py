@@ -196,22 +196,31 @@ def main():
     compile_and_run = time.perf_counter() - t0
     print(f"# first sweep {compile_and_run:.1f}s", flush=True)
 
-    # the tunnel's throughput swings +/-25% run to run (d2h drains share
-    # the link with dispatch commands); time N sweeps and report the
-    # best (min-of-N — the methodology is recorded in the result blob;
-    # production PCIe/ICI attachments do not have this variance)
-    n_runs = int(os.environ.get("BENCH_SWEEPS", 5))
+    # the tunnel's throughput swings +/-25% (sometimes 2x) run to run
+    # (d2h drains share the link with dispatch commands); sweep
+    # ADAPTIVELY: at least BENCH_SWEEPS runs, continuing until the two
+    # fastest agree within 4% (evidence the min is the machine's number,
+    # not one lucky/unlucky window), capped at BENCH_SWEEPS_MAX.  The
+    # min and the full series are recorded in the result blob;
+    # production PCIe/ICI attachments do not have this variance.
+    n_min = int(os.environ.get("BENCH_SWEEPS", 5))
+    n_max = int(os.environ.get("BENCH_SWEEPS_MAX", 12))
     runs = []
     phases: dict = {}
-    for it in range(n_runs):
+    while True:
         p: dict = {}
         t0 = time.perf_counter()
         edges = engine.sweep(threshold, progress=progress, timings=p)
         t = time.perf_counter() - t0
-        print(f"# sweep {it + 1}/{n_runs}: {t:.3f}s phases {p}", flush=True)
         runs.append(t)
         if t <= min(runs):
             phases = p
+        lo = sorted(runs)[:2]
+        stable = len(runs) >= max(2, n_min) and lo[1] / lo[0] < 1.04
+        print(f"# sweep {len(runs)}: {t:.3f}s (best {lo[0]:.3f}s, "
+              f"{'stable' if stable else 'unstable'}) phases {p}", flush=True)
+        if stable or len(runs) >= n_max:
+            break
     dt = min(runs)
     runs = [round(t, 3) for t in runs]
 
@@ -267,7 +276,9 @@ def main():
             "threshold": round(threshold, 6),
             "edges": int(edges.n_edges),
             "sweep_seconds": round(dt, 3),
-            "sweep_method": f"min of {n_runs} timed sweeps",
+            "sweep_method": (
+                f"min of {len(runs)} sweeps (adaptive: best two within "
+                f"4% or cap {n_max})"),
             "sweep_seconds_all": runs,
             "first_run_seconds": round(compile_and_run, 3),
             "phases": {k: (round(v, 3) if isinstance(v, float) else v)

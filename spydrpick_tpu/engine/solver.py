@@ -79,6 +79,16 @@ class EngineConfig:
     # fused Pallas MI kernel (ops/mi_pallas.py): "auto" enables it on
     # TPU when the tile is a multiple of its 128-column block
     use_pallas: str = "auto"   # "auto" | "on" | "off"
+    # MXU int8 path for the fused kernel's crosstable matmuls (the MXU
+    # runs int8 at 2x bf16 throughput on v5e).  "auto": int8 for
+    # unit-weight runs only, where the 0/1 one-hot operands make the
+    # integer counts EXACT (bit-identical MI to the bf16 pass at half
+    # the matmul cost).  "on": additionally run weighted sweeps as a
+    # 14-bit fixed-point weight split (two int8 passes = the cost of
+    # ONE bf16 pass, vs two today) — weights quantise to rel. 2^-14 of
+    # the max weight, a documented accuracy trade (see
+    # tests/test_pallas_integration.py::test_int8_fixed14_accuracy).
+    mxu_int8: str = "auto"     # "auto" | "on" | "off"
     # edge-compaction path: "route" (ops/compact_route.py, exact
     # scatter-free roll-routing — the fast path on TPU and the default)
     # or "off"/"xla" (cumsum+scatter).  "auto"/"on"/"pallas" = route
@@ -173,6 +183,13 @@ class SweepStatics:
     # When set, Lp is a multiple of it and the sweep iterates
     # (block-row, j-window) work items with traced window starts.
     row_window: int = 0
+    # MXU int8 crosstable path (see EngineConfig.mxu_int8): "off",
+    # "unit" (exact 0/1 int8 single pass), or "fixed14" (weighted
+    # 14-bit fixed-point split; int8_scale is the static quantisation
+    # factor q — device weights round to w_q = round(w*q) in [0, 16383]
+    # and the kernel epilogue multiplies the int32 counts by 1/q).
+    int8_mode: str = "off"
+    int8_scale: float = 0.0
 
     @property
     def cdtype(self):
@@ -382,19 +399,51 @@ def row_buffers(data: DeviceData, st: SweepStatics, i0,
     base = 0 if jc0 is None else jc0
     bd = _buf_dtype(st)
 
-    xi = onehot_slice(data, st, i0, st.cdtype)
-    xi_w = xi * data.weights[:, None].astype(st.cdtype)
-    if st.use_pallas:
-        from spydrpick_tpu.ops.mi_pallas import split_bf16
-
-        if st.unit_weights and not dual:
-            # unit weights: xi_w is 0/1, exact in bf16 — single-pass
-            # kernel, no lo residual operand at all
-            xi_hi, xi_lo = xi_w.astype(jnp.bfloat16), None
+    # MXU int8 path: fixed14 runs BOTH kernels on int8 operands (the
+    # overflow re-extraction's dual pass must produce the same values
+    # the fast path stored); unit mode covers the single-variant kernel
+    # (its dual twin's bf16 split is hi=x, lo=0 — already bit-identical
+    # to the exact integer counts).  The psum (sample-sharded
+    # crosstable) path keeps the bf16 hi/lo split.
+    int8_fast = (st.use_pallas and st.psum_axis is None
+                 and (st.int8_mode == "fixed14"
+                      or (st.int8_mode == "unit" and not dual)))
+    pass_mults: tuple = (1, 1)
+    acc_scale = 1.0
+    if int8_fast:
+        xi_i8 = onehot_slice(data, st, i0, jnp.int8)
+        if st.int8_mode == "unit":
+            # 0/1 operands: integer counts, exact — bit-identical MI to
+            # the bf16 pass at half the MXU cost
+            xi_hi, xi_lo = xi_i8, None
+            pass_mults = (1,)
         else:
-            xi_hi, xi_lo = split_bf16(xi_w.astype(jnp.float32))
+            # fixed14: w_q = round(w * q) in [0, 16383] split into two
+            # base-128 digits; the kernel recombines (128*A + B) in
+            # int32 (exact) and scales by 1/q at the epilogue
+            w_q = jnp.clip(
+                jnp.round(data.weights.astype(jnp.float32)
+                          * jnp.float32(st.int8_scale)), 0, 16383
+            ).astype(jnp.int32)
+            xi32 = xi_i8.astype(jnp.int32)
+            xi_hi = (xi32 * (w_q // 128)[:, None]).astype(jnp.int8)
+            xi_lo = (xi32 * (w_q % 128)[:, None]).astype(jnp.int8)
+            pass_mults = (128, 1)
+            acc_scale = 1.0 / st.int8_scale
     else:
-        xi_w = xi_w.astype(bd)
+        xi = onehot_slice(data, st, i0, st.cdtype)
+        xi_w = xi * data.weights[:, None].astype(st.cdtype)
+        if st.use_pallas:
+            from spydrpick_tpu.ops.mi_pallas import split_bf16
+
+            if st.unit_weights and not dual:
+                # unit weights: xi_w is 0/1, exact in bf16 — single-pass
+                # kernel, no lo residual operand at all
+                xi_hi, xi_lo = xi_w.astype(jnp.bfloat16), None
+            else:
+                xi_hi, xi_lo = split_bf16(xi_w.astype(jnp.float32))
+        else:
+            xi_w = xi_w.astype(bd)
 
     mi_buf = jnp.full((T, W), -jnp.inf, dtype=bd)
     wog_buf = jnp.full((T, W), -jnp.inf, dtype=bd) if dual else None
@@ -446,21 +495,23 @@ def row_buffers(data: DeviceData, st: SweepStatics, i0,
             if not dual:
                 mi = mi_tile_pallas_single(
                     xi_hi, xi_hi if xi_lo is None else xi_lo,
-                    xj.astype(jnp.bfloat16),
+                    xj.astype(xi_hi.dtype),
                     ipf.astype(jnp.float32), jpf.astype(jnp.float32),
                     pseudocount=st.pseudocount, bs=st.pallas_bs,
                     bi=st.pallas_bi, bj=st.pallas_bj,
                     n_passes=1 if xi_lo is None else 2,
+                    pass_mults=pass_mults, acc_scale=acc_scale,
                 )
                 return mi, None
             ipwf = jax.lax.dynamic_slice_in_dim(data.presence_wog, i0, T, 0).reshape(-1)
             jpwf = jax.lax.dynamic_slice_in_dim(data.presence_wog, j0, T, 0).reshape(-1)
             mi, mi_wog = mi_tile_pallas(
-                xi_hi, xi_lo, xj.astype(jnp.bfloat16),
+                xi_hi, xi_lo, xj.astype(xi_hi.dtype),
                 ipf.astype(jnp.float32), jpf.astype(jnp.float32),
                 ipwf.astype(jnp.float32), jpwf.astype(jnp.float32),
                 pseudocount=st.pseudocount, bs=st.pallas_bs,
                 bi=st.pallas_bi, bj=st.pallas_bj,
+                pass_mults=pass_mults, acc_scale=acc_scale,
             )
             return mi, _wog_effective(data, st, mi, mi_wog, i0, j0)
         if not dual:
@@ -474,7 +525,9 @@ def row_buffers(data: DeviceData, st: SweepStatics, i0,
         xj = onehot_slice(
             data, st,
             j0,
-            jnp.bfloat16 if st.use_pallas else jnp.dtype(st.storage_dtype),
+            jnp.int8 if int8_fast
+            else jnp.bfloat16 if st.use_pallas
+            else jnp.dtype(st.storage_dtype),
         )
         mi, wog = tile_pair(xj, j0)
         mi_buf = jax.lax.dynamic_update_slice(mi_buf, mi.astype(bd), (0, c * T))
@@ -845,6 +898,36 @@ def build_device_data(alignment: Alignment, config: EngineConfig) -> tuple[Devic
             pallas_bs = env_bs
         S = _ceil_to(S, pallas_bs)  # zero sample rows are exact no-ops
 
+    w = np.zeros(S)
+    w[:n_samples] = (
+        alignment.weights if alignment.weights is not None else np.ones(n_samples)
+    )
+    unit_weights = bool(np.all(w[:n_samples] == 1.0))
+
+    # MXU int8 crosstable path (EngineConfig.mxu_int8): unit-weight runs
+    # get the exact 0/1 int8 single pass under "auto"; weighted sweeps
+    # run the fixed14 split when the weight SPREAD is bounded — the
+    # per-sample quantisation error is <= (max_w/min_w)/2^15 relative,
+    # so at spread <= 32 it stays below the f32 epilogue's own error
+    # (measured: equal max |mi - f64 oracle| at spread 10, see
+    # tests/test_pallas_integration.py).  "on" forces fixed14 for any
+    # non-negative weights (documented accuracy trade at wide spreads,
+    # e.g. 1/cluster-size weighting with very uneven clusters).
+    # int8 one-hot storage also halves dense-mode HBM.
+    int8_mode, int8_scale = "off", 0.0
+    if use_pallas and sdtype == jnp.bfloat16 and config.mxu_int8 != "off":
+        wr = w[:n_samples]
+        if unit_weights:
+            int8_mode = "unit"
+        elif np.all(wr > 0) and (
+            config.mxu_int8 == "on"
+            or float(wr.max()) / float(wr.min()) <= 32.0
+        ):
+            int8_mode = "fixed14"
+            int8_scale = 16383.0 / float(wr.max())
+    if int8_mode != "off":
+        sdtype = jnp.dtype(jnp.int8)
+
     codes = np.full((S, Lp), 255, dtype=np.uint8)
     codes[:n_samples, :L] = alignment.codes
     oh_mode = config.onehot_storage
@@ -871,11 +954,6 @@ def build_device_data(alignment: Alignment, config: EngineConfig) -> tuple[Devic
     gap[:L] = alignment.gap_presence
     orig = np.full(Lp, np.iinfo(np.int32).max // 4, dtype=np.int32)
     orig[:L] = alignment.translation.astype(np.int32)
-    w = np.zeros(S)
-    w[:n_samples] = (
-        alignment.weights if alignment.weights is not None else np.ones(n_samples)
-    )
-    unit_weights = bool(np.all(w[:n_samples] == 1.0))
 
     data = DeviceData(
         onehot=onehot,
@@ -908,6 +986,8 @@ def build_device_data(alignment: Alignment, config: EngineConfig) -> tuple[Devic
         onehot_codes=oh_mode == "codes",
         storage_dtype=str(jnp.dtype(sdtype)),
         row_window=rw,
+        int8_mode=int8_mode,
+        int8_scale=int8_scale,
     )
     return data, statics
 

@@ -131,23 +131,19 @@ def _mi_from_block(C, ipf, jpf, pc, bj=BJ, interpret=False, concat=False):
 
 
 def _kernel(xi_hi_ref, xi_lo_ref, xj_ref, ipf_ref, jpf_ref, ipwf_ref, jpwf_ref,
-            mi_ref, wog_ref, C_scratch, *, pc, n_k, bj=BJ, interpret=False):
+            mi_ref, wog_ref, C_scratch, *, pc, n_k, bj=BJ, interpret=False,
+            mults=(1, 1), acc_scale=1.0):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         C_scratch[:] = jnp.zeros_like(C_scratch)
 
-    contract = lambda a, b: jax.lax.dot_general(
-        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    C_scratch[:] += contract(xi_hi_ref[:], xj_ref[:])
-    C_scratch[:] += contract(xi_lo_ref[:], xj_ref[:])
+    _acc_passes(C_scratch, (xi_hi_ref, xi_lo_ref), xj_ref, mults)
 
     @pl.when(k == n_k - 1)
     def _():
-        C = C_scratch[:]
+        C = _acc_to_f32(C_scratch[:], acc_scale)
         ipf = ipf_ref[0, :]
         jpf = jpf_ref[0, :]
         mi_ref[:] = _mi_from_block(C, ipf, jpf, pc, bj, interpret)
@@ -156,8 +152,40 @@ def _kernel(xi_hi_ref, xi_lo_ref, xj_ref, ipf_ref, jpf_ref, ipwf_ref, jpwf_ref,
         wog_ref[:] = _mi_from_block(C, ipwf, jpwf, pc, bj, interpret)
 
 
+def _acc_passes(C_scratch, xi_refs, xj_ref, mults, idx=None):
+    """Accumulate the crosstable passes into the scratch (f32 bf16 hi/lo
+    OR int32 int8 fixed-point: the accumulator type follows the scratch,
+    and each pass's integer dot is scaled by its static place-value
+    multiplier — (128, 1) recombines a 14-bit fixed-point weight split,
+    (1,) is the exact unit-weight / plain path)."""
+    acc_dt = jnp.dtype(C_scratch.dtype)
+    contract = lambda a, b: jax.lax.dot_general(
+        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=acc_dt,
+    )
+    for m, xi_ref in zip(mults, xi_refs):
+        d = contract(xi_ref[:], xj_ref[:])
+        if m != 1:
+            d = d * acc_dt.type(m)
+        if idx is None:
+            C_scratch[:] += d
+        else:
+            C_scratch[idx] += d
+
+
+def _acc_to_f32(C, scale):
+    """Scratch accumulator -> f32 crosstable for the entropy epilogue
+    (int32 counts < 2^24 convert exactly; ``scale`` undoes the static
+    fixed-point quantisation factor)."""
+    if C.dtype != jnp.float32:
+        C = C.astype(jnp.float32)
+    if scale != 1.0:
+        C = C * jnp.float32(scale)
+    return C
+
+
 def _kernel_single(*refs, pc, n_k, bj=BJ, interpret=False, n_passes=2,
-                   concat=False):
+                   concat=False, mults=(1, 1), acc_scale=1.0):
     """Single-variant kernel: mi only (the lazy-wog hot path — the
     gaps-excluded variant is recomputed post-hoc for the few stored
     edges that need it, the sparsity the reference exploits via its
@@ -166,30 +194,33 @@ def _kernel_single(*refs, pc, n_k, bj=BJ, interpret=False, n_passes=2,
     ``n_passes=1``: unit-weight mode — the weighted one-hot IS the 0/1
     one-hot, exact in bf16, so the lo-residual operand and pass are
     dropped entirely (half the MXU work and input DMA;
-    --no-sample-reweighting runs)."""
+    --no-sample-reweighting runs).
+
+    int8 operands flow through unchanged: the caller supplies an int32
+    scratch, each pass's dot accumulates exactly on the MXU int8 path
+    (2x bf16 throughput on v5e), ``mults`` recombines fixed-point
+    weight digits, and ``acc_scale`` converts back to weight units at
+    the epilogue."""
     if n_passes == 2:
         (xi_hi_ref, xi_lo_ref, xj_ref, ipf_ref, jpf_ref,
          mi_ref, C_scratch) = refs
+        xi_refs = (xi_hi_ref, xi_lo_ref)
     else:
         xi_hi_ref, xj_ref, ipf_ref, jpf_ref, mi_ref, C_scratch = refs
+        xi_refs = (xi_hi_ref,)
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         C_scratch[:] = jnp.zeros_like(C_scratch)
 
-    contract = lambda a, b: jax.lax.dot_general(
-        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    C_scratch[:] += contract(xi_hi_ref[:], xj_ref[:])
-    if n_passes == 2:
-        C_scratch[:] += contract(xi_lo_ref[:], xj_ref[:])
+    _acc_passes(C_scratch, xi_refs, xj_ref, mults[:n_passes])
 
     @pl.when(k == n_k - 1)
     def _():
         mi_ref[:] = _mi_from_block(
-            C_scratch[:], ipf_ref[0, :], jpf_ref[0, :], pc, bj, interpret,
+            _acc_to_f32(C_scratch[:], acc_scale),
+            ipf_ref[0, :], jpf_ref[0, :], pc, bj, interpret,
             concat,
         )
 
@@ -214,7 +245,8 @@ def _shifted_maps(nj: int):
 
 
 def _kernel_single_deferred(*refs, pc, n_k, ni, nj, bj=BJ, interpret=False,
-                            n_passes=2, concat=False):
+                            n_passes=2, concat=False, mults=(1, 1),
+                            acc_scale=1.0):
     """Software-pipelined twin of :func:`_kernel_single`: block n's
     entropy epilogue (VPU-heavy: logs, elementwise, small dots) executes
     during block n+1's FIRST matmul step instead of serially after block
@@ -225,8 +257,10 @@ def _kernel_single_deferred(*refs, pc, n_k, ni, nj, bj=BJ, interpret=False,
     if n_passes == 2:
         (xi_hi_ref, xi_lo_ref, xj_ref, ipf_ref, jpf_ref,
          mi_ref, C_scratch) = refs
+        xi_refs = (xi_hi_ref, xi_lo_ref)
     else:
         xi_hi_ref, xj_ref, ipf_ref, jpf_ref, mi_ref, C_scratch = refs
+        xi_refs = (xi_hi_ref,)
     i, j, k = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     idx = i * nj + j
     p = jax.lax.rem(idx, 2)
@@ -235,20 +269,15 @@ def _kernel_single_deferred(*refs, pc, n_k, ni, nj, bj=BJ, interpret=False,
     def _():
         C_scratch[p] = jnp.zeros_like(C_scratch[p])
 
-    contract = lambda a, b: jax.lax.dot_general(
-        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    C_scratch[p] += contract(xi_hi_ref[:], xj_ref[:])
-    if n_passes == 2:
-        C_scratch[p] += contract(xi_lo_ref[:], xj_ref[:])
+    _acc_passes(C_scratch, xi_refs, xj_ref, mults[:n_passes], idx=p)
 
     # deferred epilogue for the previous block (ipf/jpf/mi windows point
     # at it here via _shifted_maps); independent of this step's matmul
     @pl.when((k == 0) & (idx > 0))
     def _():
         mi_ref[:] = _mi_from_block(
-            C_scratch[1 - p], ipf_ref[0, :], jpf_ref[0, :], pc, bj,
+            _acc_to_f32(C_scratch[1 - p], acc_scale),
+            ipf_ref[0, :], jpf_ref[0, :], pc, bj,
             interpret, concat,
         )
 
@@ -256,7 +285,8 @@ def _kernel_single_deferred(*refs, pc, n_k, ni, nj, bj=BJ, interpret=False,
     @pl.when((k == n_k - 1) & (idx == ni * nj - 1))
     def _():
         mi_ref[:] = _mi_from_block(
-            C_scratch[p], ipf_ref[0, :], jpf_ref[0, :], pc, bj, interpret,
+            _acc_to_f32(C_scratch[p], acc_scale),
+            ipf_ref[0, :], jpf_ref[0, :], pc, bj, interpret,
             concat,
         )
 
@@ -275,6 +305,8 @@ def mi_tile_pallas_single(
     n_passes: int = 2,
     defer: bool | None = None,
     epi_concat: bool = False,
+    pass_mults: tuple = (1, 1),
+    acc_scale: float = 1.0,
 ) -> jnp.ndarray:
     """mi (TI, TJ) f32 only — same matmul + epilogue as the dual kernel
     minus the wog pass (bit-identical mi values).
@@ -283,7 +315,13 @@ def mi_tile_pallas_single(
     n overlaps block n+1's matmul; bit-identical results — same
     accumulation and epilogue math, only the schedule moves).  Default:
     on when the S grid has >= 2 steps; SPYDRPICK_PALLAS_DEFER=0 opts
-    out."""
+    out.
+
+    int8 operands select the MXU int8 path (int32 accumulator scratch,
+    2x bf16 throughput on v5e): exact 0/1 one-hots for unit weights
+    (``pass_mults=(1,)``, bit-identical to the bf16 pass), or a
+    fixed-point weight-digit split recombined by ``pass_mults`` with
+    the static quantisation undone by ``acc_scale`` at the epilogue."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     S, TI5 = xi_hi.shape
@@ -298,24 +336,27 @@ def mi_tile_pallas_single(
 
         defer = os.environ.get("SPYDRPICK_PALLAS_DEFER", "1") == "1"
     defer = defer and n_k >= 2
+    acc_dt = jnp.int32 if xi_hi.dtype == jnp.int8 else jnp.float32
+    assert xj.dtype == xi_hi.dtype, (xi_hi.dtype, xj.dtype)
 
     xi_spec = pl.BlockSpec((bs, bi * N_STATES), lambda i, j, k: (k, i))
     if defer:
         kernel = functools.partial(
             _kernel_single_deferred, pc=pseudocount, n_k=n_k, ni=ni, nj=nj,
             bj=bj, interpret=interpret, n_passes=n_passes,
-            concat=epi_concat,
+            concat=epi_concat, mults=pass_mults, acc_scale=acc_scale,
         )
         out_map, ip_map, jp_map = _shifted_maps(nj)
-        scratch = pltpu.VMEM((2, bi * N_STATES, bj * N_STATES), jnp.float32)
+        scratch = pltpu.VMEM((2, bi * N_STATES, bj * N_STATES), acc_dt)
     else:
         kernel = functools.partial(_kernel_single, pc=pseudocount, n_k=n_k,
                                    bj=bj, interpret=interpret,
-                                   n_passes=n_passes, concat=epi_concat)
+                                   n_passes=n_passes, concat=epi_concat,
+                                   mults=pass_mults, acc_scale=acc_scale)
         out_map = lambda i, j, k: (i, j)
         ip_map = lambda i, j, k: (0, i)
         jp_map = lambda i, j, k: (0, j)
-        scratch = pltpu.VMEM((bi * N_STATES, bj * N_STATES), jnp.float32)
+        scratch = pltpu.VMEM((bi * N_STATES, bj * N_STATES), acc_dt)
     in_specs = [xi_spec] * (2 if n_passes == 2 else 1) + [
         pl.BlockSpec((bs, bj * N_STATES), lambda i, j, k: (k, j)),
         pl.BlockSpec((1, bi * N_STATES), ip_map),
@@ -484,10 +525,13 @@ def mi_tile_pallas(
     bs: int = BS,
     bi: int = BI,
     bj: int = BJ,
+    pass_mults: tuple = (1, 1),
+    acc_scale: float = 1.0,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(mi, mi_wo_gaps), each (TI, TJ) f32. S and tiles must be multiples
     of (bs, bi, bj) — pad samples with zero rows (exact: zero one-hot
-    contributes nothing to the crosstable)."""
+    contributes nothing to the crosstable).  int8 operands select the
+    int32-accumulator MXU path (see mi_tile_pallas_single)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     S, TI5 = xi_hi.shape
@@ -496,9 +540,11 @@ def mi_tile_pallas(
     assert S % bs == 0 and TI % bi == 0 and TJ % bj == 0, (S, TI, TJ)
     n_k = S // bs
     grid = (TI // bi, TJ // bj, n_k)
+    acc_dt = jnp.int32 if xi_hi.dtype == jnp.int8 else jnp.float32
 
     kernel = functools.partial(_kernel, pc=pseudocount, n_k=n_k, bj=bj,
-                               interpret=interpret)
+                               interpret=interpret, mults=pass_mults,
+                               acc_scale=acc_scale)
     mi, wog = pl.pallas_call(
         kernel,
         grid=grid,
@@ -520,7 +566,7 @@ def mi_tile_pallas(
             jax.ShapeDtypeStruct((TI, TJ), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((bi * N_STATES, bj * N_STATES), jnp.float32),
+            pltpu.VMEM((bi * N_STATES, bj * N_STATES), acc_dt),
         ],
         compiler_params=pltpu.CompilerParams(
             # the entropy stage's HIGHEST-precision dots need more scoped

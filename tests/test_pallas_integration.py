@@ -54,3 +54,95 @@ def test_pallas_unit_weights_single_pass():
     for k in set(xm) ^ set(pm):
         m = xm.get(k, pm.get(k))
         assert abs(m - 0.05) < 1e-4, (k, m)
+
+
+def test_int8_unit_mode_bit_identical():
+    """Unit weights auto-select the MXU int8 path (mxu_int8="auto"):
+    0/1 int8 operands accumulate exact integer counts in int32, so the
+    sweep is BIT-IDENTICAL to the bf16 single-pass kernel (both produce
+    the same exact f32 crosstable)."""
+    al = random_alignment(n_samples=40, n_loci=3 * BI, seed=81,
+                          gap_frac=0.12)
+    al.weights = None
+    e_i8 = MIEngine(al, EngineConfig(tile=BI, use_pallas="on",
+                                     wog_fetch="outliers"))
+    assert e_i8.statics.int8_mode == "unit"
+    assert e_i8.statics.storage_dtype == "int8"
+    e_bf = MIEngine(al, EngineConfig(tile=BI, use_pallas="on",
+                                     wog_fetch="outliers", mxu_int8="off"))
+    assert e_bf.statics.int8_mode == "off"
+    a = e_i8.sweep(0.03).sort_desc()
+    b = e_bf.sweep(0.03).sort_desc()
+    np.testing.assert_array_equal(a.ipos, b.ipos)
+    np.testing.assert_array_equal(a.jpos, b.jpos)
+    np.testing.assert_array_equal(a.mi, b.mi)
+    np.testing.assert_array_equal(a.mi_wog, b.mi_wog)
+    np.testing.assert_array_equal(a.colmax, b.colmax)
+
+
+def test_int8_fixed14_accuracy_vs_oracle():
+    """Weighted sweeps with bounded weight spread auto-select the
+    fixed14 int8 split; its error against the f64 oracle must stay in
+    the same class as the bf16 hi/lo split it replaces (measured: the
+    f32 epilogue dominates both)."""
+    from spydrpick_tpu.ops.reference import mi_matrix
+
+    al = random_alignment(n_samples=40, n_loci=3 * BI, seed=81,
+                          gap_frac=0.12)
+    rng = np.random.default_rng(3)
+    al.weights = rng.random(40) * 0.9 + 0.1   # spread 10 < 32 -> auto
+    M = mi_matrix(al.codes, al.weights, al.state_presence)
+    e_fx = MIEngine(al, EngineConfig(tile=BI, use_pallas="on",
+                                     wog_fetch="outliers"))
+    assert e_fx.statics.int8_mode == "fixed14"
+    assert e_fx.statics.int8_scale > 16383.0  # 16383 / max_w, max_w < 1
+    e_bw = MIEngine(al, EngineConfig(tile=BI, use_pallas="on",
+                                     wog_fetch="outliers", mxu_int8="off"))
+    fx = e_fx.sweep(0.02)
+    bw = e_bw.sweep(0.02)
+    err_fx = max(abs(m - M[i, j]) for i, j, m in zip(fx.ipos, fx.jpos, fx.mi))
+    err_bw = max(abs(m - M[i, j]) for i, j, m in zip(bw.ipos, bw.jpos, bw.mi))
+    assert err_fx < max(2.0 * err_bw, 5e-5), (err_fx, err_bw)
+    # threshold-boundary flips only
+    assert abs(fx.n_edges - bw.n_edges) <= max(2, bw.n_edges // 1000)
+
+
+def test_int8_auto_gate_on_weight_spread():
+    """Weight spread > 32 keeps the bf16 hi/lo split under "auto" (the
+    fixed14 quantisation error grows with max_w/min_w); mxu_int8="on"
+    forces fixed14 regardless."""
+    al = random_alignment(n_samples=40, n_loci=2 * BI, seed=7, gap_frac=0.1)
+    w = np.ones(40)
+    w[0] = 1 / 64.0  # spread 64 > 32
+    al.weights = w
+    auto = MIEngine(al, EngineConfig(tile=BI, use_pallas="on"))
+    assert auto.statics.int8_mode == "off"
+    forced = MIEngine(al, EngineConfig(tile=BI, use_pallas="on",
+                                       mxu_int8="on"))
+    assert forced.statics.int8_mode == "fixed14"
+
+
+def test_int8_fixed14_overflow_dual_consistency():
+    """Overflowed rows re-extract through the DUAL kernel; under fixed14
+    it must run the same int8 passes, so a capacity-starved sweep equals
+    the roomy one bit for bit."""
+    al = random_alignment(n_samples=40, n_loci=3 * BI, seed=19,
+                          gap_frac=0.1)
+    rng = np.random.default_rng(11)
+    al.weights = rng.random(40) * 0.5 + 0.5
+    roomy = MIEngine(al, EngineConfig(tile=BI, use_pallas="on",
+                                      wog_fetch="outliers"))
+    assert roomy.statics.int8_mode == "fixed14"
+    tight = MIEngine(al, EngineConfig(tile=BI, use_pallas="on",
+                                      wog_fetch="outliers",
+                                      edge_capacity=4096))
+    a = roomy.sweep(0.005).sort_desc()
+    b = tight.sweep(0.005).sort_desc()
+    assert a.n_edges == b.n_edges and a.n_edges > 4096  # overflow exercised
+    np.testing.assert_array_equal(a.ipos, b.ipos)
+    np.testing.assert_array_equal(a.jpos, b.jpos)
+    np.testing.assert_array_equal(a.mi, b.mi)
+    # (mi_wog is NOT compared: lazy mode defaults wog := mi except for
+    # outlier candidates, while re-extracted overflow rows carry real
+    # dual-kernel wog — a pre-existing semantic split, same under bf16;
+    # the output surface only ever reads wog for outliers)
