@@ -89,17 +89,23 @@ def main():
     threshold = float(np.quantile(sample, 1 - target_frac))
     print(f"# threshold {threshold:.6f}", flush=True)
 
-    # warm-up (compile) + cross-check the two variants agree
+    # warm-up (compile) + cross-check the two variants agree (value-
+    # shifting overrides like int8_mode may flip a few threshold-
+    # boundary edges; anything beyond ~0.1% is a real disagreement)
     e_a = eng_a.sweep(threshold)
     e_b = eng_b.sweep(threshold)
-    assert e_a.n_edges == e_b.n_edges, (e_a.n_edges, e_b.n_edges)
-    ka = np.lexsort((e_a.jpos, e_a.ipos))
-    kb = np.lexsort((e_b.jpos, e_b.ipos))
-    assert (e_a.ipos[ka] == e_b.ipos[kb]).all()
-    assert (e_a.jpos[ka] == e_b.jpos[kb]).all()
-    dmax = float(np.max(np.abs(e_a.mi[ka] - e_b.mi[kb]))) if e_a.n_edges else 0
-    print(f"# edge sets identical ({e_a.n_edges} edges), "
-          f"max |mi_A - mi_B| = {dmax:.3e}", flush=True)
+    assert abs(e_a.n_edges - e_b.n_edges) <= max(2, e_a.n_edges // 1000), (
+        e_a.n_edges, e_b.n_edges)
+    sa = set(zip(e_a.ipos, e_a.jpos))
+    sb = set(zip(e_b.ipos, e_b.jpos))
+    assert len(sa ^ sb) <= max(4, e_a.n_edges // 500), len(sa ^ sb)
+    ma = {(i, j): m for i, j, m in zip(e_a.ipos, e_a.jpos, e_a.mi)}
+    mb = {(i, j): m for i, j, m in zip(e_b.ipos, e_b.jpos, e_b.mi)}
+    common = sa & sb
+    dmax = max(abs(ma[k] - mb[k]) for k in common) if common else 0.0
+    print(f"# edges A={e_a.n_edges} B={e_b.n_edges} "
+          f"(symdiff {len(sa ^ sb)}), max |mi_A - mi_B| = {dmax:.3e}",
+          flush=True)
 
     times = {"A": [], "B": []}
     comp = {"A": [], "B": []}
