@@ -111,6 +111,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fused Pallas MI kernel (auto: on TPU with aligned tiles)")
     g.add_argument("--use-pallas-compact", choices=["auto", "on", "off"], default="auto",
                    help="Pallas edge-compaction kernel (auto: follows --use-pallas)")
+    g.add_argument("--mxu-int8", choices=["auto", "on", "off"], default="auto",
+                   help="MXU int8 crosstable path: auto = exact for unit weights, "
+                        "fixed-point for weight spreads <= 32; on = force the "
+                        "fixed-point split for any positive weights")
     g.add_argument("--matmul-precision", choices=["highest", "high", "default"],
                    default="high",
                    help="crosstable matmul precision (default rounds weights to bf16 "
@@ -197,6 +201,7 @@ def main(argv=None) -> int:
         row_window=args.row_window,
         use_pallas=args.use_pallas,
         use_pallas_compact=args.use_pallas_compact,
+        mxu_int8=args.mxu_int8,
         matmul_precision=args.matmul_precision,
         output_dir=args.output_dir,
         checkpoint=args.checkpoint,

@@ -90,6 +90,7 @@ class PipelineOptions:
     row_window: int = 0      # 0=auto: j-window very wide alignments
     use_pallas: str = "auto"
     use_pallas_compact: str = "auto"
+    mxu_int8: str = "auto"   # MXU int8 crosstable path (solver.EngineConfig)
     matmul_precision: str = "high"
     output_dir: str = "."
     checkpoint: str | None = None       # sweep checkpoint file (resume support)
@@ -228,6 +229,7 @@ def run_pipeline(opts: PipelineOptions, write_outputs: bool = True,
         row_window=opts.row_window,
         use_pallas=opts.use_pallas,
         use_pallas_compact=opts.use_pallas_compact,
+        mxu_int8=opts.mxu_int8,
         matmul_precision=opts.matmul_precision,
         pseudocount=opts.mi_pseudocount,
         ld_threshold=opts.ld_threshold,
