@@ -64,15 +64,16 @@ def supervise() -> int:
             s.close()
 
     for attempt in range(1, 7):
-        if attempt <= 2 and not relay_up():
+        if attempt <= 4 and not relay_up():
             # ADVISORY wait: a refused port usually means the relay died
             # (children would hang in jax.devices() and burn the stall
             # watchdog), but a non-tunnel TPU setup has no relay at all —
             # so wait a bounded time on early attempts, then proceed and
-            # let the stall watchdog arbitrate.
+            # let the stall watchdog arbitrate.  (Outages of 45+ min
+            # have been observed; four 20-min waits ride those out.)
             print(f"bench: tunnel relay port closed (attempt {attempt}); "
-                  "waiting up to 15 min", file=sys.stderr)
-            for _ in range(15):
+                  "waiting up to 20 min", file=sys.stderr)
+            for _ in range(20):
                 time.sleep(60)
                 if relay_up():
                     break
