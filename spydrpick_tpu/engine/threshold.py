@@ -94,10 +94,19 @@ def determine_mi_threshold(
         print(f" ({pairs_n} pairs * {iterations} iterations)", file=verbose_out)
 
     rng = np.random.default_rng(seed)
+    # draw every iteration's sample first (identical rng stream to the
+    # sequential loop), then evaluate ALL of them through one pair_mi
+    # call — its chunk dispatches pipeline on device, so the tournament
+    # pays one host sync instead of one per iteration (the per-iteration
+    # order statistics below are unchanged)
+    draws = [sample_pairs(rng, pairs_n, n_loci) for _ in range(iterations)]
+    mi_all = engine.pair_mi(
+        np.concatenate([d[0] for d in draws]),
+        np.concatenate([d[1] for d in draws]),
+    )
     thresholds = []
     for it in range(iterations):
-        ii, jj = sample_pairs(rng, pairs_n, n_loci)
-        mi = engine.pair_mi(ii, jj)
+        mi = mi_all[it * pairs_n: (it + 1) * pairs_n]
         mi_sorted_at = np.partition(mi, threshold_idx)[threshold_idx]
         thresholds.append(float(mi_sorted_at))
         if verbose_out is not None:
