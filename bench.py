@@ -175,6 +175,7 @@ def main():
                      pipeline_depth=int(os.environ.get("BENCH_DEPTH", 1)),
                      onehot_storage=os.environ.get("BENCH_ONEHOT", "auto"),
                      row_window=int(os.environ.get("BENCH_ROW_WINDOW", 0)),
+                     mxu_int8=os.environ.get("BENCH_MXU_INT8", "auto"),
                      wog_fetch=os.environ.get("BENCH_WOG_FETCH", "outliers")),
     )
     print("# engine ready", flush=True)
