@@ -275,6 +275,7 @@ def main():
             "vs_ref_estimate": round(pairs_per_s / BASELINE_CPU_ESTIMATE, 3),
             "samples": S, "loci": L, "tile": tile,
             "backend": jax.default_backend(),
+            "int8_mode": engine.statics.int8_mode,
             "threshold": round(threshold, 6),
             "edges": int(edges.n_edges),
             "sweep_seconds": round(dt, 3),
