@@ -146,3 +146,33 @@ def test_int8_fixed14_overflow_dual_consistency():
     # outlier candidates, while re-extracted overflow rows carry real
     # dual-kernel wog — a pre-existing semantic split, same under bf16;
     # the output surface only ever reads wog for outliers)
+
+
+def test_int8_fixed14_exact_grid_weights():
+    """Weights on the fixed-point grid (multiples of 1/16384 with
+    max_w = 16383/16384, so q = 16384 and w_q = w*q exactly) make the
+    fixed14 crosstable EXACT integer arithmetic — the error vs the f64
+    oracle must then be pure f32-epilogue error, i.e. no worse than the
+    bf16 hi/lo engine's on the same data."""
+    from spydrpick_tpu.ops.reference import mi_matrix
+
+    al = random_alignment(n_samples=48, n_loci=2 * BI, seed=23,
+                          gap_frac=0.1)
+    rng = np.random.default_rng(9)
+    k = rng.integers(1024, 16384, size=48)   # spread 16 < 32 -> auto
+    k[0] = 16383                             # pins max_w = 16383/16384
+    al.weights = k / 16384.0
+    M = mi_matrix(al.codes, al.weights, al.state_presence)
+    e_fx = MIEngine(al, EngineConfig(tile=BI, use_pallas="on",
+                                     wog_fetch="outliers"))
+    assert e_fx.statics.int8_mode == "fixed14"
+    assert abs(e_fx.statics.int8_scale - 16384.0) < 1e-9
+    e_bw = MIEngine(al, EngineConfig(tile=BI, use_pallas="on",
+                                     wog_fetch="outliers", mxu_int8="off"))
+    fx = e_fx.sweep(0.02)
+    bw = e_bw.sweep(0.02)
+    err_fx = max(abs(m - M[i, j]) for i, j, m in zip(fx.ipos, fx.jpos, fx.mi))
+    err_bw = max(abs(m - M[i, j]) for i, j, m in zip(bw.ipos, bw.jpos, bw.mi))
+    # exact counts can only beat the bf16 split (tiny slack for epilogue
+    # input rounding differences)
+    assert err_fx <= err_bw * 1.2 + 1e-7, (err_fx, err_bw)
