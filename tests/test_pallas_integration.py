@@ -176,3 +176,25 @@ def test_int8_fixed14_exact_grid_weights():
     # exact counts can only beat the bf16 split (tiny slack for epilogue
     # input rounding differences)
     assert err_fx <= err_bw * 1.2 + 1e-7, (err_fx, err_bw)
+
+
+def test_int8_windowed_rows_bit_identical():
+    """J-windowed sweeps compose with both int8 modes: window mode only
+    re-tiles the work items, so results match full-width bit for bit."""
+    al = random_alignment(n_samples=40, n_loci=4 * BI, seed=33,
+                          gap_frac=0.1)
+    rng = np.random.default_rng(2)
+    al.weights = rng.random(40) * 0.9 + 0.1
+    w = MIEngine(al, EngineConfig(tile=BI, use_pallas="on",
+                                  wog_fetch="outliers", row_window=2 * BI))
+    assert w.statics.row_window == 2 * BI
+    assert w.statics.int8_mode == "fixed14"
+    f = MIEngine(al, EngineConfig(tile=BI, use_pallas="on",
+                                  wog_fetch="outliers", row_window=1))
+    assert f.statics.row_window == 0 and f.statics.int8_mode == "fixed14"
+    a = w.sweep(0.02).sort_desc()
+    b = f.sweep(0.02).sort_desc()
+    assert a.n_edges == b.n_edges
+    np.testing.assert_array_equal(a.ipos, b.ipos)
+    np.testing.assert_array_equal(a.jpos, b.jpos)
+    np.testing.assert_array_equal(a.mi, b.mi)
