@@ -89,6 +89,12 @@ class EngineConfig:
     # the max weight, a documented accuracy trade (see
     # tests/test_pallas_integration.py::test_int8_fixed14_accuracy).
     mxu_int8: str = "auto"     # "auto" | "on" | "off"
+    # epilogue schedule for the single-variant Pallas kernel: "" defers
+    # to the kernel default (env SPYDRPICK_PALLAS_SCHEDULE, else the
+    # deferred schedule); "serial" | "defer" | "strided" force one.
+    # All three are bit-identical — only the MXU/VPU overlap moves
+    # (see ops/mi_pallas.py kernel docstrings).
+    pallas_schedule: str = ""
     # edge-compaction path: "route" (ops/compact_route.py, exact
     # scatter-free roll-routing — the fast path on TPU and the default)
     # or "off"/"xla" (cumsum+scatter).  "auto"/"on"/"pallas" = route
@@ -190,6 +196,10 @@ class SweepStatics:
     # and the kernel epilogue multiplies the int32 counts by 1/q).
     int8_mode: str = "off"
     int8_scale: float = 0.0
+    # epilogue schedule for the single-variant Pallas kernel:
+    # "" = kernel default (SPYDRPICK_PALLAS_SCHEDULE / _DEFER env),
+    # "serial" | "defer" | "strided" (see ops/mi_pallas.py)
+    pallas_schedule: str = ""
 
     @property
     def cdtype(self):
@@ -501,6 +511,7 @@ def row_buffers(data: DeviceData, st: SweepStatics, i0,
                     bi=st.pallas_bi, bj=st.pallas_bj,
                     n_passes=1 if xi_lo is None else 2,
                     pass_mults=pass_mults, acc_scale=acc_scale,
+                    schedule=st.pallas_schedule or None,
                 )
                 return mi, None
             ipwf = jax.lax.dynamic_slice_in_dim(data.presence_wog, i0, T, 0).reshape(-1)
@@ -988,6 +999,7 @@ def build_device_data(alignment: Alignment, config: EngineConfig) -> tuple[Devic
         row_window=rw,
         int8_mode=int8_mode,
         int8_scale=int8_scale,
+        pallas_schedule=config.pallas_schedule,
     )
     return data, statics
 

@@ -291,6 +291,101 @@ def _kernel_single_deferred(*refs, pc, n_k, ni, nj, bj=BJ, interpret=False,
         )
 
 
+def _strided_chunk(bi: int, n_k: int) -> tuple[int, int]:
+    """Slab geometry for the strided schedule: slabs slice the previous
+    block's (bi*5, bj*5) crosstable along i-state rows, so the row count
+    must cover whole i-positions (multiple of 5) on f32 sublane
+    boundaries (multiple of 8) -> multiples of 40.  Returns (rows per
+    slab, number of slabs); slabs overlap by re-computing identical rows
+    when 40*ceil does not divide bi*5 exactly (idempotent rewrites)."""
+    rows5 = bi * N_STATES
+    c = 40 * -(-rows5 // (40 * n_k))
+    return c, -(-rows5 // c)
+
+
+def _strided_maps(nj: int, n_k: int, last: int):
+    """Index maps for the strided schedule: every k step of block idx
+    keeps the output/presence windows on block idx-1 (slab writes land
+    there), except the final grid block's last step, which swings to the
+    block itself for its own epilogue.  Window visits stay contiguous:
+    window w is written during all of block w+1's steps (w < last) and
+    window ``last`` only on the final step."""
+
+    def tgt(i, j, k):
+        idx = i * nj + j
+        prev = jnp.maximum(idx - 1, 0)
+        return jnp.where((idx == last) & (k == n_k - 1), idx, prev)
+
+    out = lambda i, j, k: (tgt(i, j, k) // nj, tgt(i, j, k) % nj)
+    ip = lambda i, j, k: (0, tgt(i, j, k) // nj)
+    jp = lambda i, j, k: (0, tgt(i, j, k) % nj)
+    return out, ip, jp
+
+
+def _kernel_single_strided(*refs, pc, n_k, ni, nj, bi=BI, bj=BJ,
+                           interpret=False, n_passes=2, mults=(1, 1),
+                           acc_scale=1.0):
+    """Strided-epilogue twin of :func:`_kernel_single`: the previous
+    block's entropy epilogue is split into row SLABS executed
+    unconditionally across this block's matmul steps — slab k runs
+    right after matmul step k, giving Mosaic MXU work (the crosstable
+    pass) and VPU work (the slab's logs/elementwise) in ONE straight-
+    line step body instead of a serial whole-block epilogue inside a
+    single pl.when (which Mosaic does not overlap with the matmuls).
+
+    Correct because the epilogue is row-parallel: mi rows [r0/5, r0/5+c/5)
+    depend only on crosstable rows [r0, r0+c) (every reduction in
+    _mi_from_block is either over i-states within a row group or over
+    j-states within a row).  The final grid block keeps the serial
+    shape: its predecessor's epilogue runs whole at its k==0 and its own
+    on its last step (window maps in :func:`_strided_maps`)."""
+    if n_passes == 2:
+        (xi_hi_ref, xi_lo_ref, xj_ref, ipf_ref, jpf_ref,
+         mi_ref, C_scratch) = refs
+        xi_refs = (xi_hi_ref, xi_lo_ref)
+    else:
+        xi_hi_ref, xj_ref, ipf_ref, jpf_ref, mi_ref, C_scratch = refs
+        xi_refs = (xi_hi_ref,)
+    i, j, k = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    idx = i * nj + j
+    last = ni * nj - 1
+    p = jax.lax.rem(idx, 2)
+    rows5 = bi * N_STATES
+    c, n_slabs = _strided_chunk(bi, n_k)
+
+    @pl.when(k == 0)
+    def _():
+        C_scratch[p] = jnp.zeros_like(C_scratch[p])
+
+    _acc_passes(C_scratch, xi_refs, xj_ref, mults[:n_passes], idx=p)
+
+    # slab k of the previous block's epilogue (plain blocks only)
+    @pl.when((idx > 0) & (idx != last) & (k < n_slabs))
+    def _():
+        r0 = jnp.minimum(k * c, rows5 - c)
+        A = _acc_to_f32(C_scratch[1 - p, pl.ds(r0, c), :], acc_scale)
+        ipf = ipf_ref[0, pl.ds(r0, c)]
+        mi_ref[pl.ds(r0 // N_STATES, c // N_STATES), :] = _mi_from_block(
+            A, ipf, jpf_ref[0, :], pc, bj, interpret)
+
+    # the final block serialises: whole predecessor epilogue at k==0
+    # (its last slab would collide with the own-epilogue window swing),
+    # own epilogue on the last step.  With one grid block the k==0 write
+    # is uninitialised-scratch garbage into the block's own window,
+    # overwritten by the k==n_k-1 epilogue before write-back.
+    @pl.when((idx == last) & (k == 0))
+    def _():
+        mi_ref[:] = _mi_from_block(
+            _acc_to_f32(C_scratch[1 - p], acc_scale),
+            ipf_ref[0, :], jpf_ref[0, :], pc, bj, interpret)
+
+    @pl.when((idx == last) & (k == n_k - 1))
+    def _():
+        mi_ref[:] = _mi_from_block(
+            _acc_to_f32(C_scratch[p], acc_scale),
+            ipf_ref[0, :], jpf_ref[0, :], pc, bj, interpret)
+
+
 def mi_tile_pallas_single(
     xi_hi: jnp.ndarray,
     xi_lo: jnp.ndarray,
@@ -307,6 +402,7 @@ def mi_tile_pallas_single(
     epi_concat: bool = False,
     pass_mults: tuple = (1, 1),
     acc_scale: float = 1.0,
+    schedule: str | None = None,
 ) -> jnp.ndarray:
     """mi (TI, TJ) f32 only — same matmul + epilogue as the dual kernel
     minus the wog pass (bit-identical mi values).
@@ -331,16 +427,31 @@ def mi_tile_pallas_single(
     n_k = S // bs
     ni, nj = TI // bi, TJ // bj
     grid = (ni, nj, n_k)
-    if defer is None:
+    if schedule is None:
         import os
 
-        defer = os.environ.get("SPYDRPICK_PALLAS_DEFER", "1") == "1"
-    defer = defer and n_k >= 2
+        if defer is not None:       # legacy bool arg
+            schedule = "defer" if defer else "serial"
+        else:
+            schedule = os.environ.get("SPYDRPICK_PALLAS_SCHEDULE", "")
+            if not schedule:
+                schedule = ("defer" if os.environ.get(
+                    "SPYDRPICK_PALLAS_DEFER", "1") == "1" else "serial")
+    if n_k < 2:
+        schedule = "serial"  # pipelined schedules need a successor step
     acc_dt = jnp.int32 if xi_hi.dtype == jnp.int8 else jnp.float32
     assert xj.dtype == xi_hi.dtype, (xi_hi.dtype, xj.dtype)
 
     xi_spec = pl.BlockSpec((bs, bi * N_STATES), lambda i, j, k: (k, i))
-    if defer:
+    if schedule == "strided":
+        kernel = functools.partial(
+            _kernel_single_strided, pc=pseudocount, n_k=n_k, ni=ni, nj=nj,
+            bi=bi, bj=bj, interpret=interpret, n_passes=n_passes,
+            mults=pass_mults, acc_scale=acc_scale,
+        )
+        out_map, ip_map, jp_map = _strided_maps(nj, n_k, ni * nj - 1)
+        scratch = pltpu.VMEM((2, bi * N_STATES, bj * N_STATES), acc_dt)
+    elif schedule == "defer":
         kernel = functools.partial(
             _kernel_single_deferred, pc=pseudocount, n_k=n_k, ni=ni, nj=nj,
             bj=bj, interpret=interpret, n_passes=n_passes,

@@ -65,6 +65,24 @@ def test_pallas_kernel_multiblock_grid():
         assert abs(mi[i, j] - want) < 3e-4, (i, j)
 
 
+@pytest.mark.parametrize("n_blocks,n_k", [(1, 2), (2, 2), (2, 4), (2, 8)])
+def test_single_kernel_schedules_bit_identical(n_blocks, n_k):
+    """serial / defer / strided are the SAME math on a moved schedule —
+    results must be bit-identical, incl. single-block grids (the strided
+    final-block garbage-overwrite case) and n_slabs < n_k geometries."""
+    from spydrpick_tpu.ops.mi_pallas import mi_tile_pallas_single
+
+    al, hi, lo, xj = _setup(n_samples=n_k * BS, n_loci=n_blocks * BI,
+                            seed=7, gap_frac=0.2)
+    ipf = jnp.asarray(al.state_presence.astype(np.float32).reshape(-1))
+    run = lambda sched: np.asarray(mi_tile_pallas_single(
+        hi, lo, xj, ipf, ipf, interpret=True, schedule=sched))
+    serial = run("serial")
+    assert np.isfinite(serial).all()
+    np.testing.assert_array_equal(serial, run("defer"))
+    np.testing.assert_array_equal(serial, run("strided"))
+
+
 def test_split_bf16_accuracy():
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.random(10000).astype(np.float32))
