@@ -124,6 +124,13 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--checkpoint-every", type=int, default=16,
                    help="checkpoint every N block-rows")
     g.add_argument("--profile-dir", help="write a jax.profiler trace here")
+    g.add_argument("--jax-cache-dir",
+                   default=os.environ.get("SPYDRPICK_JAX_CACHE",
+                                          "~/.cache/spydrpick_tpu/jax"),
+                   help="persistent XLA compilation cache directory; repeat "
+                        "runs skip the jit compiles (the first sweep at a new "
+                        "width is otherwise ~2 min of width-bucket compiles). "
+                        "'none' disables")
     g.add_argument("--sharded", action="store_true",
                    help="shard the sweep over all visible devices")
     g.add_argument("--sample-shards", type=int, default=1,
@@ -151,6 +158,12 @@ def main(argv=None) -> int:
     print(version_string())
     if args.threads and args.threads > 0:
         os.environ.setdefault("OMP_NUM_THREADS", str(args.threads))
+    if args.jax_cache_dir and args.jax_cache_dir.lower() != "none":
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser(args.jax_cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if args.coordinator_address or (args.num_processes and args.num_processes > 1):
         from spydrpick_tpu.parallel.distributed import initialize_multihost
 

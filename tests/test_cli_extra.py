@@ -91,3 +91,21 @@ def test_cli_error_paths(capsys):
     assert main(["/nonexistent-alignment.fasta"]) == 1
     err = capsys.readouterr().err
     assert "ERROR" in err
+
+
+def test_cli_jax_cache_flag(tmp_path):
+    """--jax-cache-dir points the persistent XLA compilation cache at the
+    given directory (repeat CLI runs skip jit compiles); 'none' disables."""
+    import jax
+
+    from spydrpick_tpu.cli import main
+
+    al = random_alignment(n_samples=40, n_loci=64)
+    fasta = tmp_path / "cache.fasta"
+    write_fasta(str(fasta), al)
+    cache = tmp_path / "jit-cache"
+    rc = main([str(fasta), "--ld-threshold", "20", "--seed", "3",
+               "--mi-threshold", "0.1",
+               "--output-dir", str(tmp_path), "--jax-cache-dir", str(cache)])
+    assert rc == 0
+    assert jax.config.jax_compilation_cache_dir == str(cache)
