@@ -414,10 +414,14 @@ def row_buffers(data: DeviceData, st: SweepStatics, i0,
     # the fast path stored); unit mode covers the single-variant kernel
     # (its dual twin's bf16 split is hi=x, lo=0 — already bit-identical
     # to the exact integer counts).  The psum (sample-sharded
-    # crosstable) path keeps the bf16 hi/lo split.
-    int8_fast = (st.use_pallas and st.psum_axis is None
+    # crosstable) path runs int8 too: int32 count partials psum EXACTLY
+    # over the mesh, so sharded values stay bit-identical to the
+    # single-device int8 kernel (unit+dual composes there because the
+    # entropy epilogue is a separate kernel over the merged counts).
+    int8_fast = (st.use_pallas
                  and (st.int8_mode == "fixed14"
-                      or (st.int8_mode == "unit" and not dual)))
+                      or (st.int8_mode == "unit"
+                          and (not dual or st.psum_axis is not None))))
     pass_mults: tuple = (1, 1)
     acc_scale = 1.0
     if int8_fast:
@@ -479,11 +483,24 @@ def row_buffers(data: DeviceData, st: SweepStatics, i0,
                     mi_epilogue_pallas,
                 )
 
-                C = crosstab_tile_pallas(
-                    xi_hi, xi_lo, xj.astype(jnp.bfloat16),
-                    bs=st.pallas_bs, bi=st.pallas_bi, bj=st.pallas_bj,
-                )
-                C = jax.lax.psum(C, st.psum_axis)
+                if xi_hi.dtype == jnp.int8:
+                    C = crosstab_tile_pallas(
+                        xi_hi, xi_lo, xj.astype(jnp.int8),
+                        bs=st.pallas_bs, bi=st.pallas_bi, bj=st.pallas_bj,
+                        pass_mults=pass_mults,
+                    )
+                    # int32 partials psum exactly; convert + de-quantise
+                    # AFTER the collective so the f32 rounding matches
+                    # the single-device kernel's _acc_to_f32 bit-for-bit
+                    C = jax.lax.psum(C, st.psum_axis).astype(jnp.float32)
+                    if acc_scale != 1.0:
+                        C = C * jnp.float32(acc_scale)
+                else:
+                    C = crosstab_tile_pallas(
+                        xi_hi, xi_lo, xj.astype(jnp.bfloat16),
+                        bs=st.pallas_bs, bi=st.pallas_bi, bj=st.pallas_bj,
+                    )
+                    C = jax.lax.psum(C, st.psum_axis)
                 if not dual:
                     mi = mi_epilogue_pallas(
                         C, ipf.astype(jnp.float32), jpf.astype(jnp.float32),

@@ -490,27 +490,26 @@ def mi_tile_pallas_single(
     )(*args)
 
 
-def _xtab_kernel(*refs, n_passes):
+def _xtab_kernel(*refs, n_passes, mults):
     """Crosstable-only kernel: the dual-pass matmul of the fused kernel
     accumulating straight into the (bi*5, bj*5) output block (revisited
-    across the minor S grid axis) — no entropy epilogue."""
+    across the minor S grid axis) — no entropy epilogue.  int8 operands
+    accumulate int32 (the output block's dtype selects the MXU path);
+    ``mults`` recombines fixed-point weight digits as in the fused
+    kernel (_acc_passes)."""
     if n_passes == 2:
         xi_hi_ref, xi_lo_ref, xj_ref, c_ref = refs
+        xi_refs = (xi_hi_ref, xi_lo_ref)
     else:
         xi_hi_ref, xj_ref, c_ref = refs
+        xi_refs = (xi_hi_ref,)
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         c_ref[:] = jnp.zeros_like(c_ref)
 
-    contract = lambda a, b: jax.lax.dot_general(
-        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    c_ref[:] += contract(xi_hi_ref[:], xj_ref[:])
-    if n_passes == 2:
-        c_ref[:] += contract(xi_lo_ref[:], xj_ref[:])
+    _acc_passes(c_ref, xi_refs, xj_ref, mults[:n_passes])
 
 
 def crosstab_tile_pallas(
@@ -521,11 +520,18 @@ def crosstab_tile_pallas(
     bi: int = BI,
     bj: int = BJ,
     interpret: bool | None = None,
+    pass_mults: tuple = (1, 1),
 ) -> jnp.ndarray:
-    """(TI*5, TJ*5) f32 weighted crosstable — same matmul passes as the
+    """(TI*5, TJ*5) weighted crosstable — same matmul passes as the
     fused kernel, materialised so a sample-sharded caller can psum the
     counts over its mesh axis BEFORE the entropy stage (the collective
-    sits between this and :func:`mi_epilogue_pallas`)."""
+    sits between this and :func:`mi_epilogue_pallas`).
+
+    bf16 hi/lo operands accumulate f32; int8 operands accumulate int32
+    with ``pass_mults`` digit recombination — int32 partials psum
+    EXACTLY over the mesh, so the sharded fixed14/unit path stays
+    bit-identical to the single-device fused kernel (the caller scales
+    by 1/int8_scale after the collective)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     S, TI5 = xi_hi.shape
@@ -533,6 +539,7 @@ def crosstab_tile_pallas(
     TI, TJ = TI5 // N_STATES, TJ5 // N_STATES
     assert S % bs == 0 and TI % bi == 0 and TJ % bj == 0, (S, TI, TJ, bs)
     n_passes = 1 if xi_lo is None else 2
+    acc_dt = jnp.int32 if xi_hi.dtype == jnp.int8 else jnp.float32
     n_k = S // bs
     grid = (TI // bi, TJ // bj, n_k)
     xi_spec = pl.BlockSpec((bs, bi * N_STATES), lambda i, j, k: (k, i))
@@ -541,13 +548,14 @@ def crosstab_tile_pallas(
     ]
     args = ((xi_hi,) if xi_lo is None else (xi_hi, xi_lo)) + (xj,)
     return pl.pallas_call(
-        functools.partial(_xtab_kernel, n_passes=n_passes),
+        functools.partial(_xtab_kernel, n_passes=n_passes,
+                          mults=pass_mults),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (bi * N_STATES, bj * N_STATES), lambda i, j, k: (i, j)
         ),
-        out_shape=jax.ShapeDtypeStruct((TI5, TJ5), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((TI5, TJ5), acc_dt),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),

@@ -146,6 +146,52 @@ def test_sample_sharded_pallas_kernel_matches():
     np.testing.assert_allclose(ref.colmax, sharded.colmax, atol=1e-4)
 
 
+def test_sample_sharded_int8_fixed14_bit_identical():
+    """2-D mesh on the MXU int8 fixed14 path: int32 count partials psum
+    EXACTLY, so the sharded sweep is BIT-identical to the single-device
+    int8 kernel (unlike the bf16 psum path, whose f32 partial sums
+    reassociate)."""
+    from spydrpick_tpu.ops.mi_pallas import BI
+
+    al = random_alignment(n_samples=45, n_loci=2 * BI, seed=49, gap_frac=0.1)
+    cfg = EngineConfig(tile=BI, use_pallas="on", mxu_int8="on")
+    ref_eng = MIEngine(al, cfg)
+    assert ref_eng.statics.int8_mode == "fixed14", ref_eng.statics.int8_mode
+    ref = ref_eng.sweep(0.02)
+    eng = MIEngine(al, cfg)
+    sharded = sharded_sweep(eng, 0.02, make_mesh(2, n_samples=4))
+    si, sj, sm, sw = _key(ref)
+    mi_, mj, mm, mw = _key(sharded)
+    np.testing.assert_array_equal(si, mi_)
+    np.testing.assert_array_equal(sj, mj)
+    np.testing.assert_array_equal(sm, mm)
+    np.testing.assert_array_equal(sw, mw)
+    np.testing.assert_array_equal(ref.colmax, sharded.colmax)
+
+
+def test_sample_sharded_int8_unit_bit_identical():
+    """Unit weights on the 2-D mesh: exact integer counts in a SINGLE
+    int8 pass, psum'd in int32 — bit-identical to single-device (and
+    the dual/wog variant composes because the entropy epilogue is a
+    separate kernel over the merged counts)."""
+    from spydrpick_tpu.ops.mi_pallas import BI
+
+    al = random_alignment(n_samples=45, n_loci=2 * BI, seed=50, gap_frac=0.1)
+    al.weights = None
+    cfg = EngineConfig(tile=BI, use_pallas="on")
+    ref_eng = MIEngine(al, cfg)
+    assert ref_eng.statics.int8_mode == "unit", ref_eng.statics.int8_mode
+    ref = ref_eng.sweep(0.02)
+    eng = MIEngine(al, cfg)
+    sharded = sharded_sweep(eng, 0.02, make_mesh(2, n_samples=4))
+    si, sj, sm, sw = _key(ref)
+    mi_, mj, mm, mw = _key(sharded)
+    np.testing.assert_array_equal(si, mi_)
+    np.testing.assert_array_equal(sj, mj)
+    np.testing.assert_array_equal(sm, mm)
+    np.testing.assert_array_equal(sw, mw)
+
+
 def test_sharded_lazy_wog_matches_full():
     """Sharded sweep with the production lazy-wog drain: exact wog for
     every edge at/above the outlier threshold, mi elsewhere (the only
