@@ -362,10 +362,15 @@ def _kernel_single_strided(*refs, pc, n_k, ni, nj, bi=BI, bj=BJ,
     # slab k of the previous block's epilogue (plain blocks only)
     @pl.when((idx > 0) & (idx != last) & (k < n_slabs))
     def _():
-        r0 = jnp.minimum(k * c, rows5 - c)
+        # c is a multiple of 40 and rows5 - c of 40 too (rows5 = bi*5*8k
+        # geometry, _strided_chunk), so r0 sits on f32 sublane (8) and
+        # whole-position (5) boundaries — Mosaic needs the static hint
+        # to prove the dynamic vector load/store alignment
+        r0 = pl.multiple_of(jnp.minimum(k * c, rows5 - c), 40)
         A = _acc_to_f32(C_scratch[1 - p, pl.ds(r0, c), :], acc_scale)
         ipf = ipf_ref[0, pl.ds(r0, c)]
-        mi_ref[pl.ds(r0 // N_STATES, c // N_STATES), :] = _mi_from_block(
+        r5 = pl.multiple_of(r0 // N_STATES, 8)
+        mi_ref[pl.ds(r5, c // N_STATES), :] = _mi_from_block(
             A, ipf, jpf_ref[0, :], pc, bj, interpret)
 
     # the final block serialises: whole predecessor epilogue at k==0
