@@ -832,6 +832,7 @@ def pairs_mi_dual_core(data: DeviceData, st: SweepStatics, ipos, jpos):
 
 
 _FETCH_CHUNK_LINES = 2048  # store lines per drain transfer (1 MB of f32 mi)
+_ASM_BATCH_CHUNKS = 8      # full chunks per incremental assembly submit
 
 
 def fetch_chunk_core(mi_s, wog_s, ip_s, jp_s, c0, st: SweepStatics,
@@ -1248,6 +1249,7 @@ class MIEngine:
 
         assembler = ThreadPoolExecutor(1)
         collected_futs: list = []
+        n_submitted = 0  # chunks of the current epoch already submitted
 
         def fetch_chunks_upto(watermark: int):
             """Dispatch async d2h copies of every complete, not-yet-
@@ -1261,24 +1263,44 @@ class MIEngine:
                     o.copy_to_host_async()
                 pending.append((c0, out))
 
+        def submit_ready():
+            """Hand full, already-in-flight chunks to the assembly
+            worker in batches DURING compute: the epoch's numpy repack
+            happens incrementally under the device's compute instead of
+            as one big post-loop job (the 100k/200k sweep-vs-compute
+            residual), and the collected device buffers release as each
+            batch completes.  Chunk order is preserved, so the final
+            edge arrays are byte-identical to a single whole-epoch
+            collect."""
+            nonlocal n_submitted
+            if len(pending) - n_submitted >= _ASM_BATCH_CHUNKS:
+                batch = list(pending[n_submitted:])
+                collected_futs.append(assembler.submit(
+                    self._collect_packed, batch, batch[-1][0] + CH,
+                    wog_full,
+                ))
+                n_submitted = len(pending)
+
         def drain_epoch():
             """Hand everything written so far to the assembly worker and
             recycle the device store from line 0 (packed mode): every
-            complete chunk is already in flight, so this only enqueues
-            the partial tail chunk and a deferred numpy repack — the
+            complete chunk is already in flight and batches of them were
+            already submitted (submit_ready), so this only enqueues the
+            partial tail chunk and its deferred numpy repack — the
             dispatch loop never blocks on host assembly.  Capacity
             therefore bounds the compute-ahead-of-drain lag, not the
             sweep's total edges."""
-            nonlocal expected_offset, offset, fetched_lines_total
-            if expected_offset > 0:
+            nonlocal expected_offset, offset, fetched_lines_total, n_submitted
+            if expected_offset > n_submitted * CH:
                 fetch_chunks_upto(_ceil_to(expected_offset, CH))
                 collected_futs.append(assembler.submit(
-                    self._collect_packed, list(pending), expected_offset,
-                    wog_full,
+                    self._collect_packed, list(pending[n_submitted:]),
+                    expected_offset, wog_full,
                 ))
-                fetched_lines_total += expected_offset
+            fetched_lines_total += expected_offset
             pending.clear()
             expected_offset = 0
+            n_submitted = 0
             offset = jnp.asarray(0, jnp.int32)
 
         # groups are width-uniform: each route-bucket width is its own
@@ -1330,6 +1352,7 @@ class MIEngine:
                     overflow_items.append((i0, jc0))
             if packed:
                 fetch_chunks_upto(expected_offset)
+                submit_ready()
             if progress is not None:
                 progress(grp[0][0], min(grp[-1][0] + T, L),
                          int(counts_np.sum()), time.perf_counter() - g_t0)

@@ -359,19 +359,21 @@ def _kernel_single_strided(*refs, pc, n_k, ni, nj, bi=BI, bj=BJ,
 
     _acc_passes(C_scratch, xi_refs, xj_ref, mults[:n_passes], idx=p)
 
-    # slab k of the previous block's epilogue (plain blocks only)
-    @pl.when((idx > 0) & (idx != last) & (k < n_slabs))
-    def _():
-        # c is a multiple of 40 and rows5 - c of 40 too (rows5 = bi*5*8k
-        # geometry, _strided_chunk), so r0 sits on f32 sublane (8) and
-        # whole-position (5) boundaries — Mosaic needs the static hint
-        # to prove the dynamic vector load/store alignment
-        r0 = pl.multiple_of(jnp.minimum(k * c, rows5 - c), 40)
-        A = _acc_to_f32(C_scratch[1 - p, pl.ds(r0, c), :], acc_scale)
-        ipf = ipf_ref[0, pl.ds(r0, c)]
-        r5 = pl.multiple_of(r0 // N_STATES, 8)
-        mi_ref[pl.ds(r5, c // N_STATES), :] = _mi_from_block(
-            A, ipf, jpf_ref[0, :], pc, bj, interpret)
+    # slab s of the previous block's epilogue runs at matmul step k == s
+    # (plain blocks only).  The loop is unrolled in Python so every
+    # slice offset is STATIC — Mosaic cannot prove alignment of
+    # dynamically-offset vector loads at these shapes (hardware compile
+    # rejects pl.ds with traced offsets here even with multiple_of
+    # hints), but static slices are free.
+    for s in range(n_slabs):
+        r0 = min(s * c, rows5 - c)
+
+        @pl.when((idx > 0) & (idx != last) & (k == s))
+        def _(r0=r0):
+            A = _acc_to_f32(C_scratch[1 - p, r0:r0 + c, :], acc_scale)
+            ipf = ipf_ref[0, r0:r0 + c]
+            mi_ref[r0 // N_STATES:(r0 + c) // N_STATES, :] = _mi_from_block(
+                A, ipf, jpf_ref[0, :], pc, bj, interpret)
 
     # the final block serialises: whole predecessor epilogue at k==0
     # (its last slab would collide with the own-epilogue window swing),

@@ -426,3 +426,25 @@ def test_row_window_auto_and_rounding():
     # window >= Lp degenerates to full-width
     _, st = build_device_data(al, EngineConfig(tile=8, row_window=4096))
     assert st.row_window == 0
+
+
+def test_packed_incremental_assembly_matches(monkeypatch):
+    """Incremental in-sweep assembly submits (submit_ready) must yield
+    byte-identical edge arrays to whole-epoch collection: batch size 1
+    forces a collect per fetched chunk, across epoch recycles."""
+    from spydrpick_tpu.engine import solver as solver_mod
+
+    monkeypatch.setattr(solver_mod, "_ASM_BATCH_CHUNKS", 1)
+    al = random_alignment(n_samples=40, n_loci=512, seed=79, gap_frac=0.1)
+    big = MIEngine(al, EngineConfig(tile=64))
+    tiny = MIEngine(al, EngineConfig(tile=64, edge_capacity=1 << 15,
+                                     store_capacity=1 << 17,
+                                     rows_per_dispatch=2))
+    timings: dict = {}
+    e1 = big.sweep(-1.0).sort_desc()
+    e2 = tiny.sweep(-1.0, timings=timings).sort_desc()
+    assert timings["overflow_rows"] == 0
+    np.testing.assert_array_equal(e1.ipos, e2.ipos)
+    np.testing.assert_array_equal(e1.jpos, e2.jpos)
+    np.testing.assert_array_equal(e1.mi, e2.mi)
+    np.testing.assert_array_equal(e1.mi_wog, e2.mi_wog)
