@@ -31,12 +31,16 @@ def params_key(statics, threshold: float) -> str:
     # wog_lazy is part of the key: lazy snapshots persist mi
     # PLACEHOLDERS for wog (resolved post-hoc), full snapshots exact
     # values — resuming one mode's snapshot in the other would leave
-    # outlier rows with unresolved placeholders
+    # outlier rows with unresolved placeholders.  int8_mode/scale are
+    # keyed too: fixed14 MI carries 2^-14 quantisation jitter, so
+    # resuming a bf16 snapshot under --mxu-int8 auto (or vice versa)
+    # would silently mix two numeric schemes in one edge list
     return (
         f"L={statics.L},S={statics.S},tile={statics.tile},"
         f"thr={threshold!r},pc={statics.pseudocount!r},"
         f"ld={statics.ld_threshold},lin={statics.linear_genome},"
-        f"G={statics.genome_size},lazy={statics.wog_lazy}"
+        f"G={statics.genome_size},lazy={statics.wog_lazy},"
+        f"i8={statics.int8_mode}:{statics.int8_scale!r}"
     )
 
 

@@ -951,7 +951,10 @@ def build_device_data(alignment: Alignment, config: EngineConfig) -> tuple[Devic
         elif np.all(wr > 0) and (
             config.mxu_int8 == "on"
             or float(wr.max()) / float(wr.min()) <= 32.0
-        ):
+        ) and S * 16383 < 2**31:
+            # S guard: an int32 crosstable cell accumulates at most
+            # sum(w_q) <= S*16383 — past ~131k samples it could wrap,
+            # so such runs stay on the bf16 hi/lo path even under "on"
             int8_mode = "fixed14"
             int8_scale = 16383.0 / float(wr.max())
     if int8_mode != "off":

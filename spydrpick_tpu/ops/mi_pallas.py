@@ -444,6 +444,10 @@ def mi_tile_pallas_single(
             if not schedule:
                 schedule = ("defer" if os.environ.get(
                     "SPYDRPICK_PALLAS_DEFER", "1") == "1" else "serial")
+    if schedule not in ("serial", "defer", "strided"):
+        raise ValueError(
+            f"unknown pallas schedule {schedule!r} "
+            "(expected serial | defer | strided)")
     if n_k < 2:
         schedule = "serial"  # pipelined schedules need a successor step
     acc_dt = jnp.int32 if xi_hi.dtype == jnp.int8 else jnp.float32
