@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 
+from spydrpick_tpu.core.alignment import Alignment
 from spydrpick_tpu.engine.solver import EngineConfig, MIEngine
 from spydrpick_tpu.ops.mi_pallas import BI
 
@@ -198,3 +199,34 @@ def test_int8_windowed_rows_bit_identical():
     np.testing.assert_array_equal(a.ipos, b.ipos)
     np.testing.assert_array_equal(a.jpos, b.jpos)
     np.testing.assert_array_equal(a.mi, b.mi)
+
+
+def test_fixed14_sample_count_guard():
+    """fixed14 must NOT be selected (even under --mxu-int8 on) when an
+    int32 crosstable cell could wrap: sum(w_q) <= S*16383 needs S below
+    ~131k samples.  Such runs fall back to the bf16 hi/lo path."""
+    S, L = 140000, 32
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 5, size=(S, L)).astype(np.uint8)
+    al = Alignment(
+        codes=codes,
+        sample_names=[f"s{i}" for i in range(S)],
+        id_string="guard",
+        translation=np.arange(L, dtype=np.int64),
+        n_original_positions=L,
+        weights=rng.random(S) * 0.9 + 0.1,
+    )
+    eng = MIEngine(al, EngineConfig(tile=8, use_pallas="on", mxu_int8="on"))
+    assert eng.statics.int8_mode == "off"
+    # a small-S twin with the same weights spread DOES select fixed14
+    al_small = Alignment(
+        codes=codes[:48],
+        sample_names=[f"s{i}" for i in range(48)],
+        id_string="guard-s",
+        translation=np.arange(L, dtype=np.int64),
+        n_original_positions=L,
+        weights=(rng.random(48) * 0.9 + 0.1),
+    )
+    eng_s = MIEngine(al_small, EngineConfig(tile=8, use_pallas="on",
+                                            mxu_int8="on"))
+    assert eng_s.statics.int8_mode == "fixed14"
