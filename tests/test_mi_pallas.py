@@ -90,3 +90,17 @@ def test_split_bf16_accuracy():
     recon = hi.astype(jnp.float32) + lo.astype(jnp.float32)
     rel = np.abs(np.asarray(recon - x)) / np.asarray(x)
     assert rel.max() < 2e-5
+
+
+def test_unknown_schedule_rejected():
+    """A typo'd schedule must raise, not silently degrade to serial."""
+    import numpy as np
+    import pytest
+
+    from spydrpick_tpu.ops.mi_pallas import BI, BS, mi_tile_pallas_single
+
+    S, T = BS, BI
+    xi = np.zeros((S, T * 5), np.float32).astype("bfloat16")
+    pf = np.ones(T * 5, np.float32)
+    with pytest.raises(ValueError, match="unknown pallas schedule"):
+        mi_tile_pallas_single(xi, xi, xi, pf, pf, schedule="deferred")
