@@ -75,9 +75,14 @@ def main():
     )
     cfg = EngineConfig(tile=512, rows_per_dispatch=8,
                        onehot_storage="dense", wog_fetch="outliers")
+    # "cfg_"-prefixed overrides patch the CONFIG of engine B instead of
+    # its SweepStatics (host-side knobs like rows_per_dispatch live
+    # there); device data stays shared either way
+    cfg_ov = {k[4:]: v for k, v in overrides.items() if k.startswith("cfg_")}
+    st_ov = {k: v for k, v in overrides.items() if not k.startswith("cfg_")}
     eng_a = MIEngine(al, cfg)
-    eng_b = MIEngine(al, cfg, _prebuilt=(
-        eng_a.data, dataclasses.replace(eng_a.statics, **overrides)))
+    eng_b = MIEngine(al, dataclasses.replace(cfg, **cfg_ov), _prebuilt=(
+        eng_a.data, dataclasses.replace(eng_a.statics, **st_ov)))
     print("# engines ready (shared device data)", flush=True)
 
     ii = rng.integers(0, L, 20000)
