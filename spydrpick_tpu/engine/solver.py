@@ -913,25 +913,6 @@ def build_device_data(alignment: Alignment, config: EngineConfig) -> tuple[Devic
         "route": "route", "auto": "route",
     }[config.use_pallas_compact]
     n_samples = S
-    # sample-block size: biggest swept block whose zero-row padding
-    # stays under ~15% (scripts/perf_kernel_sweep.py: 768 ~20% faster
-    # than 256 at S~3k; padding rows are exact no-ops but cost matmul)
-    pallas_bs = _BS
-    if use_pallas:
-        for b in (768, 512, 384, 256):
-            if _ceil_to(S, b) <= 1.15 * S or b == 256:
-                pallas_bs = b
-                break
-        env_bs = int(os.environ.get("SPYDRPICK_PALLAS_BS", 0))
-        if env_bs:
-            pallas_bs = env_bs
-        S = _ceil_to(S, pallas_bs)  # zero sample rows are exact no-ops
-
-    w = np.zeros(S)
-    w[:n_samples] = (
-        alignment.weights if alignment.weights is not None else np.ones(n_samples)
-    )
-    unit_weights = bool(np.all(w[:n_samples] == 1.0))
 
     # MXU int8 crosstable path (EngineConfig.mxu_int8): unit-weight runs
     # get the exact 0/1 int8 single pass under "auto"; weighted sweeps
@@ -942,23 +923,50 @@ def build_device_data(alignment: Alignment, config: EngineConfig) -> tuple[Devic
     # tests/test_pallas_integration.py).  "on" forces fixed14 for any
     # non-negative weights (documented accuracy trade at wide spreads,
     # e.g. 1/cluster-size weighting with very uneven clusters).
-    # int8 one-hot storage also halves dense-mode HBM.
+    # int8 one-hot storage also halves dense-mode HBM.  (Resolved
+    # BEFORE the sample-block choice: int8 shifts the optimal bs up.)
+    wr = (np.ones(n_samples) if alignment.weights is None
+          else np.asarray(alignment.weights, dtype=np.float64))
+    unit_weights = bool(np.all(wr == 1.0))
     int8_mode, int8_scale = "off", 0.0
     if use_pallas and sdtype == jnp.bfloat16 and config.mxu_int8 != "off":
-        wr = w[:n_samples]
         if unit_weights:
             int8_mode = "unit"
         elif np.all(wr > 0) and (
             config.mxu_int8 == "on"
             or float(wr.max()) / float(wr.min()) <= 32.0
-        ) and S * 16383 < 2**31:
+        ) and n_samples * 16383 < 2**31:
             # S guard: an int32 crosstable cell accumulates at most
             # sum(w_q) <= S*16383 — past ~131k samples it could wrap,
             # so such runs stay on the bf16 hi/lo path even under "on"
+            # (zero-weight padding rows contribute nothing)
             int8_mode = "fixed14"
             int8_scale = 16383.0 / float(wr.max())
     if int8_mode != "off":
         sdtype = jnp.dtype(jnp.int8)
+
+    # sample-block size: biggest swept block whose zero-row padding
+    # stays under ~15% (scripts/perf_kernel_sweep.py: 768 ~20% faster
+    # than 256 at S~3k; padding rows are exact no-ops but cost matmul).
+    # int8 operands halve the per-pass stream, shifting the optimum up:
+    # bs=1536 beat 768 by ~3% compute in the interleaved hardware A/B
+    # (scripts/results_r4/ab_bs1536.log, bit-identical by int32
+    # exactness), so int8 engines admit the larger candidate.
+    pallas_bs = _BS
+    if use_pallas:
+        cands = (1536, 768, 512, 384, 256) if int8_mode != "off" \
+            else (768, 512, 384, 256)
+        for b in cands:
+            if _ceil_to(S, b) <= 1.15 * S or b == 256:
+                pallas_bs = b
+                break
+        env_bs = int(os.environ.get("SPYDRPICK_PALLAS_BS", 0))
+        if env_bs:
+            pallas_bs = env_bs
+        S = _ceil_to(S, pallas_bs)  # zero sample rows are exact no-ops
+
+    w = np.zeros(S)
+    w[:n_samples] = wr
 
     codes = np.full((S, Lp), 255, dtype=np.uint8)
     codes[:n_samples, :L] = alignment.codes
