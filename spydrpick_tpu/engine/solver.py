@@ -483,24 +483,20 @@ def row_buffers(data: DeviceData, st: SweepStatics, i0,
                     mi_epilogue_pallas,
                 )
 
-                if xi_hi.dtype == jnp.int8:
-                    C = crosstab_tile_pallas(
-                        xi_hi, xi_lo, xj.astype(jnp.int8),
-                        bs=st.pallas_bs, bi=st.pallas_bi, bj=st.pallas_bj,
-                        pass_mults=pass_mults,
-                    )
-                    # int32 partials psum exactly; convert + de-quantise
-                    # AFTER the collective so the f32 rounding matches
-                    # the single-device kernel's _acc_to_f32 bit-for-bit
-                    C = jax.lax.psum(C, st.psum_axis).astype(jnp.float32)
+                C = crosstab_tile_pallas(
+                    xi_hi, xi_lo, xj.astype(xi_hi.dtype),
+                    bs=st.pallas_bs, bi=st.pallas_bi, bj=st.pallas_bj,
+                    pass_mults=pass_mults,
+                )
+                C = jax.lax.psum(C, st.psum_axis)
+                if C.dtype == jnp.int32:
+                    # int8 path: int32 partials psum exactly; convert +
+                    # de-quantise AFTER the collective so the f32
+                    # rounding matches the single-device kernel's
+                    # _acc_to_f32 bit-for-bit
+                    C = C.astype(jnp.float32)
                     if acc_scale != 1.0:
                         C = C * jnp.float32(acc_scale)
-                else:
-                    C = crosstab_tile_pallas(
-                        xi_hi, xi_lo, xj.astype(jnp.bfloat16),
-                        bs=st.pallas_bs, bi=st.pallas_bi, bj=st.pallas_bj,
-                    )
-                    C = jax.lax.psum(C, st.psum_axis)
                 if not dual:
                     mi = mi_epilogue_pallas(
                         C, ipf.astype(jnp.float32), jpf.astype(jnp.float32),
