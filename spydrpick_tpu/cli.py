@@ -157,7 +157,9 @@ def main(argv=None) -> int:
 
     print(version_string())
     if args.threads and args.threads > 0:
-        os.environ.setdefault("OMP_NUM_THREADS", str(args.threads))
+        # an explicit -t overrides a pre-exported OMP_NUM_THREADS (the
+        # reference's -t wins likewise; -1 leaves the environment alone)
+        os.environ["OMP_NUM_THREADS"] = str(args.threads)
     if args.jax_cache_dir and args.jax_cache_dir.lower() != "none":
         import jax
 

@@ -682,6 +682,22 @@ def row_sweep_core(data: DeviceData, st: SweepStatics, i0, threshold,
     return colmax_i, colmax_j, vals, wogs, ipos, jpos, count, lines
 
 
+def overflow_edge_mask(s_i, s_j, overflow_items, T, RW):
+    """Boolean mask of fetched edges that belong to overflowed
+    (block-row, j-window) items: their stored entries are TRUNCATED by
+    the per-item K window, so callers drop them and re-extract on host
+    (windowed items drop only their own j-window).  Shared by the
+    single-device sweep and both sharded drain paths."""
+    srow = (s_i // T) * T
+    bad = np.zeros(len(s_i), bool)
+    for i0, jc0 in overflow_items:
+        b = srow == i0
+        if jc0 is not None:
+            b &= (s_j >= jc0) & (s_j < jc0 + RW)
+        bad |= b
+    return bad
+
+
 def rows_group_core(
     data: DeviceData,
     st: SweepStatics,
@@ -1147,13 +1163,13 @@ class MIEngine:
         return self._rows_group_w["win"]
 
     # ------------------------------------------------------------------ #
-    def pair_mi(self, ipos: np.ndarray, jpos: np.ndarray, chunk: int = 8192) -> np.ndarray:
-        """MI for explicit position pairs, chunked over the pair axis.
-
-        All chunk dispatches are enqueued before any result is read, so
-        the tournament pays one pipeline of device work instead of a
-        blocking host round trip per chunk (~60 chunks/iteration at the
-        500k-pair production sample size)."""
+    def _pairs_chunked(self, fn, pick, ipos, jpos, chunk):
+        """Chunk explicit pairs to one static shape and pipeline the
+        dispatches: all chunks are enqueued before any result is read,
+        so callers pay one pipeline of device work instead of a blocking
+        host round trip per chunk (~60 chunks/iteration at the 500k-pair
+        production tournament).  ``pick`` selects the wanted output of
+        ``fn`` (the dual kernel returns (mi, wog))."""
         P = len(ipos)
         out = np.empty(P, dtype=np.float64)
         results = []
@@ -1164,12 +1180,18 @@ class MIEngine:
             if n < chunk:  # pad to a single static shape
                 ii = np.pad(ii, (0, chunk - n))
                 jj = np.pad(jj, (0, chunk - n))
-            res = self._pairs_mi(self.data, ipos=jnp.asarray(ii), jpos=jnp.asarray(jj))
+            res = pick(fn(self.data, ipos=jnp.asarray(ii),
+                          jpos=jnp.asarray(jj)))
             res.copy_to_host_async()
             results.append((c0, n, res))
         for c0, n, res in results:
             out[c0 : c0 + n] = np.asarray(res)[:n]
         return out
+
+    def pair_mi(self, ipos: np.ndarray, jpos: np.ndarray, chunk: int = 8192) -> np.ndarray:
+        """MI for explicit position pairs (tournament path)."""
+        return self._pairs_chunked(self._pairs_mi, lambda r: r,
+                                   ipos, jpos, chunk)
 
     def sweep(
         self,
@@ -1393,6 +1415,24 @@ class MIEngine:
                     if expected_offset + len(group) * KL > cap_lines:
                         epoch_drains += 1
                         drain_epoch()
+                elif (not packed
+                      and expected_offset + pend_lines + len(group) * KL
+                      > cap_lines):
+                    # legacy (checkpointed) drain cannot recycle: device
+                    # writes would clamp at cap_lines - KL and CLOBBER
+                    # earlier rows' lines — and a checkpoint taken after
+                    # that would persist the corrupt store as complete
+                    # rows, silently losing edges on resume.  Raise
+                    # BEFORE dispatching, so the last saved checkpoint
+                    # predates any clobbering and resuming with a larger
+                    # --store-capacity is sound (capacity is not part of
+                    # the checkpoint key for exactly this reason).
+                    raise RuntimeError(
+                        f"edge store overflow: ~{expected_offset * LN} stored "
+                        f"edge slots + next group would exceed capacity "
+                        f"{cap_lines * LN}; raise --mi-threshold or "
+                        f"--store-capacity and resume from the checkpoint"
+                    )
                 t0 = time.perf_counter()
                 rows_p = [it[0] for it in group] + [-1] * (G - len(group))
                 if gw == "win":
@@ -1478,16 +1518,7 @@ class MIEngine:
         t_overflow0 = time.perf_counter()
         colmax = np.maximum(colmax, s_c)
         if overflow_items:
-            # items whose edge count exceeded the per-item window K:
-            # their stored entries are truncated — drop and re-extract
-            # on host (windowed items drop only their own j-window)
-            srow = (s_i // T) * T
-            bad = np.zeros(len(s_i), bool)
-            for i0, jc0 in overflow_items:
-                b = srow == i0
-                if jc0 is not None:
-                    b &= (s_j >= jc0) & (s_j < jc0 + RW)
-                bad |= b
+            bad = overflow_edge_mask(s_i, s_j, overflow_items, T, RW)
             s_i, s_j, s_m = s_i[~bad], s_j[~bad], s_m[~bad]
             if s_w is not None:
                 s_w = s_w[~bad]
@@ -1644,21 +1675,5 @@ class MIEngine:
         """Effective wo-gaps MI for explicit pairs (lazy-wog resolver),
         chunked to a single static shape; dispatches pipeline like
         :meth:`pair_mi`."""
-        P = len(ipos)
-        out = np.empty(P, dtype=np.float64)
-        results = []
-        for c0 in range(0, P, chunk):
-            ii = np.asarray(ipos[c0 : c0 + chunk], dtype=np.int32)
-            jj = np.asarray(jpos[c0 : c0 + chunk], dtype=np.int32)
-            n = len(ii)
-            if n < chunk:
-                ii = np.pad(ii, (0, chunk - n))
-                jj = np.pad(jj, (0, chunk - n))
-            _, wog = self._pairs_dual(
-                self.data, ipos=jnp.asarray(ii), jpos=jnp.asarray(jj)
-            )
-            wog.copy_to_host_async()
-            results.append((c0, n, wog))
-        for c0, n, wog in results:
-            out[c0 : c0 + n] = np.asarray(wog)[:n]
-        return out
+        return self._pairs_chunked(self._pairs_dual, lambda r: r[1],
+                                   ipos, jpos, chunk)

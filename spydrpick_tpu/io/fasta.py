@@ -40,8 +40,13 @@ def _numpy_parse(path: pathlib.Path) -> tuple[np.ndarray, list[str]]:
         raise ValueError(f"{path}: empty FASTA file")
     names: list[str] = []
     seqs: list[np.ndarray] = []
-    # Split on '>' record starts. Records are header line + sequence lines.
-    for chunk in raw.split(b">"):
+    # Split on '>' at RECORD STARTS only (line starts) — a literal '>'
+    # inside a header line must not split the record (the native parser,
+    # fasta.cpp index_records, has the same line-start rule)
+    body_all = raw.lstrip()
+    if body_all.startswith(b">"):
+        body_all = body_all[1:]
+    for chunk in body_all.replace(b"\r\n", b"\n").split(b"\n>"):
         if not chunk.strip():
             continue
         nl = chunk.find(b"\n")

@@ -174,7 +174,7 @@ def mi_from_crosstab_flat(
     icondH = (G_i - lnZ * S_i) * invZ
 
     # i-marginal (masked over present j-states)
-    Bm = _group_sum_cols(A * jnp.broadcast_to(jpf[None, :], C.shape))  # (TI*5, TJ)
+    Bm = _group_sum_cols(A * jpf[None, :])                    # (TI*5, TJ)
     lnB = jnp.log(jnp.where(Bm > 0, Bm, 1.0))
     ipb = ipf[:, None]
     G_j = _group_sum_rows(Bm * lnB * ipb)                     # (TI, TJ)

@@ -43,6 +43,7 @@ from spydrpick_tpu.engine.solver import (
     MIEngine,
     SweepStatics,
     effective_row_capacity,
+    overflow_edge_mask,
     row_sweep_core,
     rows_group_core,
 )
@@ -579,6 +580,7 @@ def sharded_sweep(
     overflow_items: list[tuple[int, int | None]] = []  # (i0, jc0)
     expected_off = np.zeros(n_dev, np.int64)
     offs_np = np.zeros(n_dev, np.int32)
+    fetched_lines_total = 0
     # epoch-drained pieces.  Uncheckpointed runs defer materialisation:
     # the collective gather is dispatched and its host copies started,
     # but the numpy assembly waits until the end of the sweep (the
@@ -611,13 +613,7 @@ def sharded_sweep(
             mi_s, wog_s, ip_s, jp_s, colmax_d, offs
         )
         if overflow_items:
-            srow = (s_i // T) * T
-            bad = np.zeros(len(s_i), bool)
-            for i0, jc0 in overflow_items:
-                b = srow == i0
-                if jc0 is not None:  # windowed: drop only this j-window
-                    b &= (s_j >= jc0) & (s_j < jc0 + RW)
-                bad |= b
+            bad = overflow_edge_mask(s_i, s_j, overflow_items, T, RW)
             s_i, s_j = s_i[~bad], s_j[~bad]
             s_m, s_w = s_m[~bad], s_w[~bad]
         return s_i, s_j, s_m, s_w, s_c
@@ -645,6 +641,7 @@ def sharded_sweep(
                     ep_i.append(s_i); ep_j.append(s_j)
                     ep_m.append(s_m); ep_w.append(s_w)
                     colmax_host = np.maximum(colmax_host, s_c)
+                fetched_lines_total += int(offs_np.sum())
                 offset = shard_init((n_dev,), np.int32)
                 expected_off[:] = 0
                 offs_np = np.zeros(n_dev, np.int32)
@@ -743,13 +740,7 @@ def sharded_sweep(
             s_i, s_j = cat0(0, np.int64), cat0(1, np.int64)
             s_m, s_w = cat0(2, np.float64), cat0(3, np.float64)
             if overflow_items:
-                srow = (s_i // T) * T
-                bad = np.zeros(len(s_i), bool)
-                for i0, jc0 in overflow_items:
-                    b = srow == i0
-                    if jc0 is not None:
-                        b &= (s_j >= jc0) & (s_j < jc0 + RW)
-                    bad |= b
+                bad = overflow_edge_mask(s_i, s_j, overflow_items, T, RW)
                 s_i, s_j = s_i[~bad], s_j[~bad]
                 s_m, s_w = s_m[~bad], s_w[~bad]
             t_fetch = time.perf_counter() - t_fetch0
@@ -803,9 +794,11 @@ def sharded_sweep(
         timings["fetch_s"] = t_fetch
         timings["overflow_s"] = time.perf_counter() - t_overflow0
         timings["overflow_rows"] = len(overflow_items)
-        timings["fetched_edges"] = int(offs_np.sum()) * LN + sum(
-            len(x) for x in ep_i
-        )
+        # epoch-drained lines were counted at each recycle (packed
+        # epochs live in ep_futs, so summing ep_i alone undercounts)
+        timings["fetched_edges"] = (
+            fetched_lines_total + int(offs_np.sum())
+        ) * LN
         timings["epoch_drains"] = (len(ep_futs) - 1 if packed else len(ep_i))
 
     if checkpoint_path and jax.process_index() == 0:

@@ -42,10 +42,19 @@ def gwes_plot(
 
     dist, flag, mi = load_couplings(couplings_path)
     if len(mi) > max_points:  # subsample low-MI mass, keep all direct edges
+        rng = np.random.default_rng(0)
         keep = np.zeros(len(mi), dtype=bool)
         keep[flag == 1] = True
-        rest = np.flatnonzero(~keep)
-        keep[np.random.default_rng(0).choice(rest, max_points - keep.sum(), replace=False)] = True
+        n_direct = int(keep.sum())
+        if n_direct >= max_points:
+            # direct edges alone exceed the budget: subsample THEM
+            direct = np.flatnonzero(keep)
+            keep[:] = False
+            keep[rng.choice(direct, max_points, replace=False)] = True
+        else:
+            rest = np.flatnonzero(~keep)
+            keep[rng.choice(rest, max_points - n_direct,
+                            replace=False)] = True
         dist, flag, mi = dist[keep], flag[keep], mi[keep]
 
     fig, ax = plt.subplots(figsize=(12, 6))

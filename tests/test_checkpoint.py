@@ -285,3 +285,30 @@ def test_lazy_full_checkpoints_not_interchangeable(tmp_path):
     ck.save(path, ck.SweepCheckpoint(k_lazy, set(), np.zeros(32),
                                      [], [], [], []))
     assert ck.load(path, k_full) is None
+
+
+def test_checkpoint_overflow_raises_before_corrupting(tmp_path):
+    """A checkpointed sweep whose edges exceed the store capacity must
+    raise BEFORE dispatching the group that would clamp-clobber earlier
+    rows' store lines — the last saved checkpoint then predates any
+    corruption, so resuming it with a larger --store-capacity matches a
+    clean run exactly."""
+    import pytest
+
+    path = str(tmp_path / "sweep.ckpt")
+    al = random_alignment(n_samples=40, n_loci=256, seed=91, gap_frac=0.1)
+    clean = MIEngine(al, EngineConfig(tile=32)).sweep(-1.0).sort_desc()
+
+    tiny = MIEngine(al, EngineConfig(tile=32, edge_capacity=1 << 12,
+                                     store_capacity=1 << 13,
+                                     rows_per_dispatch=2))
+    with pytest.raises(RuntimeError, match="store overflow"):
+        tiny.sweep(-1.0, checkpoint_path=path, checkpoint_every=2)
+
+    # resume the pre-overflow checkpoint with enough capacity
+    big = MIEngine(al, EngineConfig(tile=32, store_capacity=1 << 22))
+    resumed = big.sweep(-1.0, checkpoint_path=path).sort_desc()
+    np.testing.assert_array_equal(clean.ipos, resumed.ipos)
+    np.testing.assert_array_equal(clean.jpos, resumed.jpos)
+    np.testing.assert_array_equal(clean.mi, resumed.mi)
+    np.testing.assert_array_equal(clean.mi_wog, resumed.mi_wog)
