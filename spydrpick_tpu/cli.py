@@ -80,6 +80,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="accepted for compatibility (closed-form kernel needs no blocking)")
     g.add_argument("--aracne-node-grouping-size", type=int, default=16,
                    help="accepted for compatibility")
+    g.add_argument("--aracne-outputfile", default="aracne.out",
+                   help="accepted for compatibility (unused, as in the reference's "
+                        "combined binary — ARACNE_options.cpp:180)")
 
     g = p.add_argument_group("engine options (new)")
     g.add_argument("--seed", type=int, default=42,
@@ -114,7 +117,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--mxu-int8", choices=["auto", "on", "off"], default="auto",
                    help="MXU int8 crosstable path: auto = exact for unit weights, "
                         "fixed-point for weight spreads <= 32; on = force the "
-                        "fixed-point split for any positive weights")
+                        "fixed-point split for any positive weights (both modes "
+                        "fall back to bf16 hi/lo beyond ~131k samples, where the "
+                        "14-bit count headroom would overflow)")
     g.add_argument("--matmul-precision", choices=["highest", "high", "default"],
                    default="high",
                    help="crosstable matmul precision (default rounds weights to bf16 "
@@ -124,13 +129,15 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--checkpoint-every", type=int, default=16,
                    help="checkpoint every N block-rows")
     g.add_argument("--profile-dir", help="write a jax.profiler trace here")
+    _default_cache = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", "~/.cache"), "spydrpick_tpu", "jax")
     g.add_argument("--jax-cache-dir",
-                   default=os.environ.get("SPYDRPICK_JAX_CACHE",
-                                          "~/.cache/spydrpick_tpu/jax"),
+                   default=os.environ.get("SPYDRPICK_JAX_CACHE", _default_cache),
                    help="persistent XLA compilation cache directory; repeat "
                         "runs skip the jit compiles (the first sweep at a new "
                         "width is otherwise ~2 min of width-bucket compiles). "
-                        "'none' disables")
+                        "Grows on disk over time (delete it freely). Honors "
+                        "XDG_CACHE_HOME when set; 'none' disables")
     g.add_argument("--sharded", action="store_true",
                    help="shard the sweep over all visible devices")
     g.add_argument("--sample-shards", type=int, default=1,

@@ -44,8 +44,9 @@ def _numpy_parse(path: pathlib.Path) -> tuple[np.ndarray, list[str]]:
     # inside a header line must not split the record (the native parser,
     # fasta.cpp index_records, has the same line-start rule)
     body_all = raw.lstrip()
-    if body_all.startswith(b">"):
-        body_all = body_all[1:]
+    if not body_all.startswith(b">"):
+        raise ValueError(f"{path}: file does not start with a FASTA header ('>')")
+    body_all = body_all[1:]
     for chunk in body_all.replace(b"\r\n", b"\n").split(b"\n>"):
         if not chunk.strip():
             continue

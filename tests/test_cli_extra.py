@@ -93,6 +93,36 @@ def test_cli_error_paths(capsys):
     assert "ERROR" in err
 
 
+def test_cli_aracne_outputfile_accepted(tmp_path):
+    """--aracne-outputfile is registered (unused) in the reference's
+    combined binary (ARACNE_options.cpp:180); we accept-and-ignore it
+    like its block/grouping-size siblings."""
+    from spydrpick_tpu.cli import main
+
+    al = random_alignment(n_samples=30, n_loci=24, seed=83)
+    fasta = tmp_path / "a.fasta"
+    write_fasta(str(fasta), al)
+    rc = main([str(fasta), "--mi-threshold", "0.1", "--seed", "1",
+               "--no-filter-alignment", "--no-sample-reweighting",
+               "--aracne-outputfile", "custom-aracne.out",
+               "--output-dir", str(tmp_path), "--jax-cache-dir", "none"])
+    assert rc == 0
+    assert not (tmp_path / "custom-aracne.out").exists()  # ignored, as in the reference
+
+
+def test_fasta_junk_preamble_rejected(tmp_path):
+    """A file whose first non-whitespace byte is not '>' is rejected with
+    a clear message (advisor round-4 finding)."""
+    import pytest
+
+    from spydrpick_tpu.io.fasta import _numpy_parse
+
+    p = tmp_path / "junk.fasta"
+    p.write_bytes(b"junk preamble\n>s1\nACGT\n")
+    with pytest.raises(ValueError, match="does not start with a FASTA header"):
+        _numpy_parse(p)
+
+
 def test_cli_jax_cache_flag(tmp_path):
     """--jax-cache-dir points the persistent XLA compilation cache at the
     given directory (repeat CLI runs skip jit compiles); 'none' disables."""
