@@ -113,7 +113,10 @@ def main():
     mb = {(i, j): m for i, j, m in zip(e_b.ipos, e_b.jpos, e_b.mi)}
     common = sa & sb
     dmax = max(abs(ma[k] - mb[k]) for k in common) if common else 0.0
-    band = max(4.0 * dmax, 1e-6)
+    # a systematic value shift must fail outright, not widen its own
+    # flip band: dmax itself is capped at an absolute jitter bound
+    assert dmax < 1e-3, f"variant B shifts MI values (dmax {dmax:.3e})"
+    band = min(max(4.0 * dmax, 1e-6), 1e-3)
     stray = [k for k in sa ^ sb
              if abs((ma[k] if k in ma else mb[k]) - threshold) > band]
     assert not stray, (len(stray), stray[:5], band)

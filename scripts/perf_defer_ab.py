@@ -48,24 +48,23 @@ def main():
     import os
 
     variants = []
-    for bs, defer, concat in itertools.product(
-            (768, 1536), (False, True), (False, True)):
+    for bs, defer in itertools.product((768, 1536), (False, True)):
         if S % bs:
             continue
-        variants.append((bs, defer, concat))
+        variants.append((bs, defer))
     reps = int(os.environ.get("AB_REPS", 2))
     times: dict = {v: [] for v in variants}
     for r in range(reps):  # interleave rounds to expose tunnel drift
         for v in variants:
-            bs, defer, concat = v
+            bs, defer = v
             fn = lambda a_, b_, c_, d_, e_: mi_tile_pallas_single(
-                a_, b_, c_, d_, e_, bs=bs, defer=defer, epi_concat=concat)
+                a_, b_, c_, d_, e_, bs=bs, defer=defer)
             times[v].append(time_one(fn, args))
         print(f"# round {r + 1}/{reps} done", flush=True)
     for v in variants:
-        bs, defer, concat = v
+        bs, defer = v
         ts = times[v]
-        print(f"  bs={bs:4d} defer={int(defer)} concat={int(concat)}: "
+        print(f"  bs={bs:4d} defer={int(defer)}: "
               + " ".join(f"{t * 1e3:7.3f}" for t in ts)
               + f"  min {min(ts) * 1e3:7.3f} ms/tile", flush=True)
 

@@ -60,12 +60,12 @@ def make_variant(mode, bs, bi, bj, pc=0.5):
                 mp._ln_pos = lambda x: x * 1.0000001
                 try:
                     mi_ref[:] = _mi_from_block(
-                        C, ipf_ref[0, :], jpf_ref[0, :], pc, bj, False)
+                        C, ipf_ref[0, :], jpf_ref[0, :], pc, bi, bj)
                 finally:
                     mp._ln_pos = real_ln
             else:
                 mi_ref[:] = _mi_from_block(
-                    C, ipf_ref[0, :], jpf_ref[0, :], pc, bj, False)
+                    C, ipf_ref[0, :], jpf_ref[0, :], pc, bi, bj)
 
     def call(xi_hi, xi_lo, xj, ipf, jpf):
         S = xi_hi.shape[0]

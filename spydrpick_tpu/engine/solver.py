@@ -91,9 +91,9 @@ class EngineConfig:
     mxu_int8: str = "auto"     # "auto" | "on" | "off"
     # epilogue schedule for the single-variant Pallas kernel: "" defers
     # to the kernel default (env SPYDRPICK_PALLAS_SCHEDULE, else the
-    # deferred schedule); "serial" | "defer" | "strided" force one.
-    # All three are bit-identical — only the MXU/VPU overlap moves
-    # (see ops/mi_pallas.py kernel docstrings).
+    # deferred schedule); "serial" | "defer" force one.  Both are
+    # bit-identical — only the MXU/VPU overlap moves (see
+    # ops/mi_pallas.py kernel docstrings).
     pallas_schedule: str = ""
     # edge-compaction path: "route" (ops/compact_route.py, exact
     # scatter-free roll-routing — the fast path on TPU and the default)
@@ -173,6 +173,10 @@ class SweepStatics:
     pallas_bj: int = 128
     # codes-resident alignment (see EngineConfig.onehot_storage)
     onehot_codes: bool = False
+    # dense one-hot storage laid out in the Pallas kernels' slab order
+    # (state-major within each pallas_bi-wide column block; see
+    # ops/mi_pallas.to_slab) — set when use_pallas engines store dense
+    onehot_slab: bool = False
     storage_dtype: str = "bfloat16"
     # every sample weight is exactly 1 (--no-sample-reweighting or no
     # weights): the weighted one-hot IS the 0/1 one-hot, exact in bf16,
@@ -198,7 +202,7 @@ class SweepStatics:
     int8_scale: float = 0.0
     # epilogue schedule for the single-variant Pallas kernel:
     # "" = kernel default (SPYDRPICK_PALLAS_SCHEDULE / _DEFER env),
-    # "serial" | "defer" | "strided" (see ops/mi_pallas.py)
+    # "serial" | "defer" (see ops/mi_pallas.py)
     pallas_schedule: str = ""
 
     @property
@@ -260,22 +264,26 @@ class EdgeSet:
         """Descending MI, ties broken by (ipos, jpos) for determinism
         (reference Graph::sort at src/SpydrPick.cpp:398).
 
-        One f64 argsort + a per-tie-run lexsort fixup instead of a
-        3-key lexsort (3 stable merge sorts): at the 1e7-edge default
-        the full lexsort took ~23 s of the end-to-end wall on a small
-        host while exact-equal MI runs are a vanishing fraction."""
+        One f64 argsort + a single vectorised lexsort over only the
+        tied elements instead of a 3-key lexsort (3 stable merge
+        sorts): at the 1e7-edge default the full lexsort took ~23 s of
+        the end-to-end wall on a small host while exact-equal MI runs
+        are a vanishing fraction.  The fixup keys tied elements by
+        (-mi, ipos, jpos): -mi (exact f64 negation) keeps distinct tie
+        runs grouped in descending-MI order while each run internally
+        sorts by (ipos, jpos) — identical output to a per-run lexsort,
+        with no O(runs) Python loop on quantised/low-entropy data."""
         order = np.argsort(self.mi, kind="stable")[::-1]
         mi_s = self.mi[order]
-        eq = np.flatnonzero(mi_s[1:] == mi_s[:-1])
-        if eq.size:
-            # tie runs: [start, end) spans of equal MI, re-ordered by
-            # (ipos, jpos) exactly as the old 3-key lexsort did
-            breaks = np.flatnonzero(np.diff(eq) > 1)
-            starts = eq[np.concatenate([[0], breaks + 1])]
-            ends = eq[np.concatenate([breaks, [eq.size - 1]])] + 2
-            for s, e in zip(starts, ends):
-                seg = order[s:e]
-                order[s:e] = seg[np.lexsort((self.jpos[seg], self.ipos[seg]))]
+        eq = mi_s[1:] == mi_s[:-1]
+        if eq.any():
+            tied = np.zeros(len(mi_s), dtype=bool)
+            tied[1:] = eq
+            tied[:-1] |= eq
+            sub = order[tied]
+            sub = sub[np.lexsort(
+                (self.jpos[sub], self.ipos[sub], -self.mi[sub]))]
+            order[tied] = sub
         return EdgeSet(
             self.ipos[order], self.jpos[order], self.mi[order],
             self.mi_wog[order], self.colmax,
@@ -300,8 +308,16 @@ def effective_row_capacity(st: SweepStatics) -> int:
     return st.edge_capacity
 
 
-def onehot_slice(data: DeviceData, st: SweepStatics, c0, dtype):
+def onehot_slice(data: DeviceData, st: SweepStatics, c0, dtype,
+                 slab: int = 0):
     """(S, tile*5) one-hot block of columns [c0, c0+tile) in ``dtype``.
+
+    ``slab``: 0 = interleaved minor layout (column-major groups of 5 —
+    the XLA-path layout); > 0 = the Pallas kernels' slab layout with
+    that block width (state-major within each ``slab``-wide column
+    block, ops/mi_pallas.to_slab).  Dense storage is pre-built in the
+    matching layout (build_device_data), so dense-mode slices are pure
+    DMA either way.
 
     Codes mode: the one-hot never lives in HBM.  Column replication
     (each code repeated 5x along the minor axis) is an exact 0/1 MXU
@@ -313,6 +329,7 @@ def onehot_slice(data: DeviceData, st: SweepStatics, c0, dtype):
     """
     T = st.tile
     if not st.onehot_codes:
+        assert bool(slab) == st.onehot_slab, (slab, st.onehot_slab)
         x = jax.lax.dynamic_slice(
             data.onehot, (0, c0 * N_STATES), (st.S, T * N_STATES)
         )
@@ -321,14 +338,29 @@ def onehot_slice(data: DeviceData, st: SweepStatics, c0, dtype):
     T5 = T * N_STATES
     col = jax.lax.broadcasted_iota(jnp.int32, (T, T5), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (T, T5), 0)
-    E = (col // N_STATES == row).astype(jnp.bfloat16)
+    if slab:
+        # output col o = b*5*slab + t*slab + c holds state t of source
+        # column b*slab + c (the kernels' slab layout)
+        src = (col // (N_STATES * slab)) * slab + col % slab
+        states_i = (col % (N_STATES * slab)) // slab
+    else:
+        src = col // N_STATES
+        states_i = col % N_STATES
+    E = (src == row).astype(jnp.bfloat16)
     rep = jax.lax.dot_general(
         sl.astype(jnp.bfloat16), E,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    states = (jax.lax.iota(jnp.int32, T5) % N_STATES).astype(jnp.float32)
-    return (rep == states[None, :]).astype(dtype)
+    states = states_i[:1, :].astype(jnp.float32)
+    return (rep == states).astype(dtype)
+
+
+def _presence_slab(p2d, bw: int):
+    """(T, 5) presence block -> (T*5,) slab-flattened vector (the Pallas
+    kernels' layout: state-major within each bw-wide column block)."""
+    T = p2d.shape[0]
+    return p2d.reshape(T // bw, bw, N_STATES).swapaxes(1, 2).reshape(-1)
 
 
 def tile_mi_pair(data: DeviceData, st: SweepStatics, xi_w, xj, i0, j0):
@@ -425,7 +457,7 @@ def row_buffers(data: DeviceData, st: SweepStatics, i0,
     pass_mults: tuple = (1, 1)
     acc_scale = 1.0
     if int8_fast:
-        xi_i8 = onehot_slice(data, st, i0, jnp.int8)
+        xi_i8 = onehot_slice(data, st, i0, jnp.int8, slab=st.pallas_bi)
         if st.int8_mode == "unit":
             # 0/1 operands: integer counts, exact — bit-identical MI to
             # the bf16 pass at half the MXU cost
@@ -445,7 +477,8 @@ def row_buffers(data: DeviceData, st: SweepStatics, i0,
             pass_mults = (128, 1)
             acc_scale = 1.0 / st.int8_scale
     else:
-        xi = onehot_slice(data, st, i0, st.cdtype)
+        xi = onehot_slice(data, st, i0, st.cdtype,
+                          slab=st.pallas_bi if st.use_pallas else 0)
         xi_w = xi * data.weights[:, None].astype(st.cdtype)
         if st.use_pallas:
             from spydrpick_tpu.ops.mi_pallas import split_bf16
@@ -469,8 +502,12 @@ def row_buffers(data: DeviceData, st: SweepStatics, i0,
                 mi_tile_pallas_single,
             )
 
-            ipf = jax.lax.dynamic_slice_in_dim(data.presence, i0, T, 0).reshape(-1)
-            jpf = jax.lax.dynamic_slice_in_dim(data.presence, j0, T, 0).reshape(-1)
+            ipf = _presence_slab(
+                jax.lax.dynamic_slice_in_dim(data.presence, i0, T, 0),
+                st.pallas_bi)
+            jpf = _presence_slab(
+                jax.lax.dynamic_slice_in_dim(data.presence, j0, T, 0),
+                st.pallas_bj)
             if st.psum_axis:
                 # sample-sharded Pallas path: the fused kernel cannot
                 # hold a cross-device collective mid-kernel, so the
@@ -504,10 +541,10 @@ def row_buffers(data: DeviceData, st: SweepStatics, i0,
                         bi=st.pallas_bi, bj=st.pallas_bj,
                     )
                     return mi, None
-                ipwf = jax.lax.dynamic_slice_in_dim(
-                    data.presence_wog, i0, T, 0).reshape(-1)
-                jpwf = jax.lax.dynamic_slice_in_dim(
-                    data.presence_wog, j0, T, 0).reshape(-1)
+                ipwf = _presence_slab(jax.lax.dynamic_slice_in_dim(
+                    data.presence_wog, i0, T, 0), st.pallas_bi)
+                jpwf = _presence_slab(jax.lax.dynamic_slice_in_dim(
+                    data.presence_wog, j0, T, 0), st.pallas_bj)
                 mi, mi_wog = mi_epilogue_pallas(
                     C, ipf.astype(jnp.float32), jpf.astype(jnp.float32),
                     ipwf.astype(jnp.float32), jpwf.astype(jnp.float32),
@@ -527,8 +564,10 @@ def row_buffers(data: DeviceData, st: SweepStatics, i0,
                     schedule=st.pallas_schedule or None,
                 )
                 return mi, None
-            ipwf = jax.lax.dynamic_slice_in_dim(data.presence_wog, i0, T, 0).reshape(-1)
-            jpwf = jax.lax.dynamic_slice_in_dim(data.presence_wog, j0, T, 0).reshape(-1)
+            ipwf = _presence_slab(jax.lax.dynamic_slice_in_dim(
+                data.presence_wog, i0, T, 0), st.pallas_bi)
+            jpwf = _presence_slab(jax.lax.dynamic_slice_in_dim(
+                data.presence_wog, j0, T, 0), st.pallas_bj)
             mi, mi_wog = mi_tile_pallas(
                 xi_hi, xi_lo, xj.astype(xi_hi.dtype),
                 ipf.astype(jnp.float32), jpf.astype(jnp.float32),
@@ -552,6 +591,7 @@ def row_buffers(data: DeviceData, st: SweepStatics, i0,
             jnp.int8 if int8_fast
             else jnp.bfloat16 if st.use_pallas
             else jnp.dtype(st.storage_dtype),
+            slab=st.pallas_bj if st.use_pallas else 0,
         )
         mi, wog = tile_pair(xj, j0)
         mi_buf = jax.lax.dynamic_update_slice(mi_buf, mi.astype(bd), (0, c * T))
@@ -751,7 +791,11 @@ def rows_group_core(
         off_w = jnp.minimum(offset, cap_lines - KL)  # never clobber past cap
         to2d = lambda x: x.reshape(KL, LN)
         mi_s = jax.lax.dynamic_update_slice(mi_s, to2d(vals), (off_w, 0))
-        wog_s = jax.lax.dynamic_update_slice(wog_s, to2d(wogs), (off_w, 0))
+        if not st.wog_lazy:
+            # lazy mode never computes nor reads wog store lines (the
+            # resolver recomputes outlier candidates post-hoc), so the
+            # append — and the store allocation, see sweep() — is elided
+            wog_s = jax.lax.dynamic_update_slice(wog_s, to2d(wogs), (off_w, 0))
         ip_s = jax.lax.dynamic_update_slice(ip_s, to2d(ipos), (off_w, 0))
         jp_s = jax.lax.dynamic_update_slice(jp_s, to2d(jpos), (off_w, 0))
         offset = off_w + jnp.minimum(lines, KL)
@@ -797,6 +841,16 @@ def _pairs_onehot(data: DeviceData, st: SweepStatics, pos):
         # tournament threshold stays bit-identical between modes
         oh = (c[:, :, None] == states).astype(jnp.dtype(st.storage_dtype))
         return oh.astype(st.cdtype)
+    if st.onehot_slab:
+        # dense storage in kernel slab layout: state t of column p lives
+        # at flat index (p // bw)*5*bw + t*bw + p % bw
+        bw = st.pallas_bi
+        pos = jnp.asarray(pos, jnp.int32)
+        flat = ((pos // bw) * (N_STATES * bw))[:, None] \
+            + jnp.arange(N_STATES, dtype=jnp.int32)[None, :] * bw \
+            + (pos % bw)[:, None]
+        oh = jnp.take(data.onehot, flat.reshape(-1), axis=1)
+        return oh.reshape(st.S, -1, N_STATES).astype(st.cdtype)
     oh3 = data.onehot.reshape(st.S, st.Lp, N_STATES)
     return jnp.take(oh3, pos, axis=1).astype(st.cdtype)
 
@@ -841,6 +895,38 @@ def pairs_mi_dual_core(data: DeviceData, st: SweepStatics, ipos, jpos):
                             data.presence_wog[jpos], st.pseudocount)
     either = data.gap[ipos] | data.gap[jpos]
     return mi, jnp.where(either, wog, mi)
+
+
+def pairs_quantile_core(data: DeviceData, st: SweepStatics, ip3, jp3,
+                        n_valid, k):
+    """Device-side threshold tournament: per-iteration MI evaluation +
+    order statistic in ONE program.
+
+    ip3/jp3: (iters, n_chunks, chunk) position indices (uint16/int32;
+    chunk rows beyond ``n_valid`` pairs per iteration are padding).
+    Returns (iters,) f32 — the ascending order statistic ``k`` of each
+    iteration's ``n_valid`` MI values (std::nth_element semantics,
+    SpydrPick.hpp:329-330; identical values to a host-side partition
+    over the same f32 MI).  Replaces ~60 chunked dispatches + a full
+    MI-vector drain per tournament with one dispatch returning
+    ``iters`` floats — the round-4 tournament cost was dominated by
+    per-chunk tunnel round-trips (solver.py:1166-1189 history)."""
+
+    def one_iter(ij):
+        ip, jp = ij
+        mi = jax.lax.map(
+            lambda c: pairs_mi_core(data, st,
+                                    c[0].astype(jnp.int32),
+                                    c[1].astype(jnp.int32)),
+            (ip, jp),
+        ).reshape(-1)
+        pad = jnp.arange(mi.shape[0], dtype=jnp.int32) >= n_valid
+        # +inf padding occupies the TOP of the ascending order, leaving
+        # indices [0, n_valid) — hence order statistic k — untouched
+        mi = jnp.where(pad, jnp.inf, mi.astype(jnp.float32))
+        return jnp.sort(mi)[k]
+
+    return jax.lax.map(one_iter, (ip3, jp3))
 
 
 _FETCH_CHUNK_LINES = 2048  # store lines per drain transfer (1 MB of f32 mi)
@@ -980,22 +1066,38 @@ def build_device_data(alignment: Alignment, config: EngineConfig) -> tuple[Devic
     w = np.zeros(S)
     w[:n_samples] = wr
 
+    pallas_bi = (lambda b: b if tile % b == 0 else _BI)(
+        int(os.environ.get("SPYDRPICK_PALLAS_BI", _BI))
+    )
+    pallas_bj = (lambda b: b if tile % b == 0 else _BJ)(
+        int(os.environ.get("SPYDRPICK_PALLAS_BJ", _BJ))
+    )
     codes = np.full((S, Lp), 255, dtype=np.uint8)
     codes[:n_samples, :L] = alignment.codes
     oh_mode = config.onehot_storage
     if oh_mode == "auto":
         dense_bytes = S * Lp * N_STATES * jnp.dtype(sdtype).itemsize
         oh_mode = "codes" if dense_bytes > (1 << 30) else "dense"
+    # Pallas engines store dense one-hots in the kernels' slab layout
+    # (ops/mi_pallas.to_slab), so tile slices are pure DMA; needs one
+    # block width serving both operand sides.  Kernel-incompatible
+    # geometries (tile not a multiple of BI under use_pallas="on")
+    # fall to codes mode, whose expansion is layout-parametric per side.
+    onehot_slab = (use_pallas and oh_mode == "dense"
+                   and pallas_bi == pallas_bj and Lp % pallas_bi == 0
+                   and tile % pallas_bi == 0)
+    if use_pallas and oh_mode == "dense" and not onehot_slab:
+        oh_mode = "codes"
     if oh_mode == "codes":
         onehot = jnp.asarray(codes)  # 10x smaller; tiles expand on use
     else:
         codes_dev = jnp.asarray(codes)
         states = jnp.arange(N_STATES, dtype=jnp.uint8)
-        onehot = (
-            (codes_dev[:, :, None] == states[None, None, :])
-            .astype(sdtype)
-            .reshape(S, Lp * N_STATES)
-        )
+        oh3 = (codes_dev[:, :, None] == states[None, None, :])
+        if onehot_slab:
+            bw = pallas_bi
+            oh3 = oh3.reshape(S, Lp // bw, bw, N_STATES).transpose(0, 1, 3, 2)
+        onehot = oh3.astype(sdtype).reshape(S, Lp * N_STATES)
 
     def _pad_bool(x):
         out = np.zeros((Lp, N_STATES), dtype=bool)
@@ -1030,12 +1132,11 @@ def build_device_data(alignment: Alignment, config: EngineConfig) -> tuple[Devic
         compaction=compaction,
         wog_lazy=config.wog_fetch == "outliers",
         pallas_bs=pallas_bs,
-        pallas_bi=_BI,
-        pallas_bj=(lambda b: b if tile % b == 0 else _BJ)(
-            int(os.environ.get("SPYDRPICK_PALLAS_BJ", _BJ))
-        ),
+        pallas_bi=pallas_bi,
+        pallas_bj=pallas_bj,
         unit_weights=unit_weights,
         onehot_codes=oh_mode == "codes",
+        onehot_slab=onehot_slab,
         storage_dtype=str(jnp.dtype(sdtype)),
         row_window=rw,
         int8_mode=int8_mode,
@@ -1070,6 +1171,7 @@ class MIEngine:
         self._row_full = jax.jit(partial(row_full_core, st=st))
         self._pairs_mi = jax.jit(partial(pairs_mi_core, st=st))
         self._pairs_dual = jax.jit(partial(pairs_mi_dual_core, st=st))
+        self._pairs_quant: dict = {}  # (iters, n_chunks, ...) -> jitted fn
         # device-accumulating group sweep; stores donated so the carry
         # stays in place across dispatches
         def _group(data, row_starts, threshold, colmax, mi_s, wog_s, ip_s, jp_s,
@@ -1193,6 +1295,38 @@ class MIEngine:
         return self._pairs_chunked(self._pairs_mi, lambda r: r,
                                    ipos, jpos, chunk)
 
+    def pair_quantiles(self, ipos: np.ndarray, jpos: np.ndarray,
+                       iters: int, n_valid: int, k: int,
+                       chunk: int = 8192) -> np.ndarray:
+        """Per-iteration MI order statistics for the threshold
+        tournament, computed in ONE device dispatch (pairs_quantile_core)
+        — the only host traffic is the compact index upload and
+        ``iters`` floats down.  ``ipos``/``jpos`` hold ``iters``
+        consecutive samples of ``n_valid`` pairs each; returns (iters,)
+        f64 of each sample's ascending order statistic ``k`` —
+        bit-identical values to partitioning pair_mi's output."""
+        Pp = _ceil_to(n_valid, chunk)
+        nc = Pp // chunk
+        dt = np.uint16 if self.Lp <= (1 << 16) else np.int32
+        ip3 = np.zeros((iters, Pp), dtype=dt)
+        jp3 = np.zeros((iters, Pp), dtype=dt)
+        for it in range(iters):
+            ip3[it, :n_valid] = ipos[it * n_valid: (it + 1) * n_valid]
+            jp3[it, :n_valid] = jpos[it * n_valid: (it + 1) * n_valid]
+        key = ("quant", iters, nc, chunk, str(dt))
+        fn = self._pairs_quant.get(key)
+        if fn is None:
+            st = self.statics
+            fn = jax.jit(lambda data, ip3, jp3, n_valid, kk:
+                         pairs_quantile_core(data, st, ip3, jp3, n_valid, kk))
+            self._pairs_quant[key] = fn
+        out = fn(self.data,
+                 jnp.asarray(ip3.reshape(iters, nc, chunk)),
+                 jnp.asarray(jp3.reshape(iters, nc, chunk)),
+                 jnp.asarray(n_valid, jnp.int32),
+                 jnp.asarray(k, jnp.int32))
+        return np.asarray(out, dtype=np.float64)
+
     def sweep(
         self,
         threshold: float,
@@ -1257,7 +1391,11 @@ class MIEngine:
             np.concatenate([colmax, np.full(self.Lp - L, -np.inf)]), bd
         )
         mi_s = jnp.zeros((cap_lines, LN), bd)
-        wog_s = jnp.zeros((cap_lines, LN), bd)
+        # lazy-wog sweeps never write nor read the wog store: keep a
+        # 1-line dummy so the jitted signature stays uniform without the
+        # cap_lines*LN*4 B HBM allocation (268 MB at default caps)
+        wog_s = jnp.zeros(
+            (1 if self.statics.wog_lazy else cap_lines, LN), bd)
         ip_s = jnp.zeros((cap_lines, LN), jnp.int32)
         jp_s = jnp.zeros((cap_lines, LN), jnp.int32)
         offset = jnp.asarray(0, jnp.int32)  # in lines
@@ -1308,6 +1446,11 @@ class MIEngine:
                     self._collect_packed, batch, batch[-1][0] + CH,
                     wog_full,
                 ))
+                # null the handed-off device-buffer refs (keeping only
+                # the chunk offsets, which fetch/drain bookkeeping use)
+                # so chunk memory frees as each assembly batch completes
+                for k in range(n_submitted, len(pending)):
+                    pending[k] = (pending[k][0], None)
                 n_submitted = len(pending)
 
         def drain_epoch():

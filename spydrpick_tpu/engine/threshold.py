@@ -95,23 +95,32 @@ def determine_mi_threshold(
 
     rng = np.random.default_rng(seed)
     # draw every iteration's sample first (identical rng stream to the
-    # sequential loop), then evaluate ALL of them through one pair_mi
-    # call — its chunk dispatches pipeline on device, so the tournament
-    # pays one host sync instead of one per iteration (the per-iteration
-    # order statistics below are unchanged)
+    # sequential loop), then evaluate ALL iterations in one batch
     draws = [sample_pairs(rng, pairs_n, n_loci) for _ in range(iterations)]
-    mi_all = engine.pair_mi(
-        np.concatenate([d[0] for d in draws]),
-        np.concatenate([d[1] for d in draws]),
-    )
-    thresholds = []
-    for it in range(iterations):
-        mi = mi_all[it * pairs_n: (it + 1) * pairs_n]
-        mi_sorted_at = np.partition(mi, threshold_idx)[threshold_idx]
-        thresholds.append(float(mi_sorted_at))
+    ii = np.concatenate([d[0] for d in draws])
+    jj = np.concatenate([d[1] for d in draws])
+    if hasattr(engine, "pair_quantiles"):
+        # one device dispatch: MI evaluation + per-iteration order
+        # statistic on device, only ``iterations`` floats come back —
+        # bit-identical threshold values to the host-partition path
+        thresholds = list(engine.pair_quantiles(
+            ii, jj, iterations, pairs_n, threshold_idx))
         if verbose_out is not None:
-            print(f"spydrpick-tpu: {it + 1:2d}/{iterations} threshold sample = "
-                  f"{mi_sorted_at:.6f}", file=verbose_out)
+            for it, t in enumerate(thresholds):
+                print(f"spydrpick-tpu: {it + 1:2d}/{iterations} threshold "
+                      f"sample = {t:.6f}", file=verbose_out)
+    else:
+        # sharded / minimal engines: chunked pair_mi dispatches pipeline
+        # on device; order statistics taken on host (same values)
+        mi_all = engine.pair_mi(ii, jj)
+        thresholds = []
+        for it in range(iterations):
+            mi = mi_all[it * pairs_n: (it + 1) * pairs_n]
+            mi_sorted_at = np.partition(mi, threshold_idx)[threshold_idx]
+            thresholds.append(float(mi_sorted_at))
+            if verbose_out is not None:
+                print(f"spydrpick-tpu: {it + 1:2d}/{iterations} threshold "
+                      f"sample = {mi_sorted_at:.6f}", file=verbose_out)
 
     thresholds = np.asarray(thresholds)
     n = len(thresholds)

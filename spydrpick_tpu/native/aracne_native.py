@@ -56,9 +56,14 @@ def mark_indirect(
     E = len(mi)
     if E == 0:
         return np.zeros(0, dtype=bool)
-    nodes, inv = np.unique(np.concatenate([ipos, jpos]), return_inverse=True)
-    a = np.ascontiguousarray(inv[:E], dtype=np.int64)
-    b = np.ascontiguousarray(inv[E:], dtype=np.int64)
+    # no dense renumbering: position ids are already bounded by the
+    # alignment width, and absent ids are just degree-0 CSR rows the
+    # kernel skips — the previous sort-based np.unique(return_inverse)
+    # cost more than the kernel itself at bench scale (1.8 s vs 1.1 s
+    # at 3.2M edges)
+    a = np.ascontiguousarray(ipos, dtype=np.int64)
+    b = np.ascontiguousarray(jpos, dtype=np.int64)
+    n_nodes = int(max(a.max(), b.max())) + 1
     w = np.ascontiguousarray(mi, dtype=np.float64)
     out = np.zeros(E, dtype=np.uint8)
     rc = lib.spydrpick_aracne_mark(
@@ -66,7 +71,7 @@ def mark_indirect(
         b.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         w.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         ctypes.c_int64(E),
-        ctypes.c_int64(len(nodes)),
+        ctypes.c_int64(n_nodes),
         ctypes.c_double(threshold),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )

@@ -16,14 +16,21 @@ Design notes (see also ops/mi.py:mi_from_crosstab_flat for the math):
     ``w ~ hi + lo`` with both products against the 0/1 one-hot exact in
     bf16, so two DEFAULT-precision MXU passes reach ~2^-16 relative
     count accuracy — 3x fewer passes than an f32 HIGHEST dot;
+  * **slab operand layout** (round 5): within each BI/BJ-wide column
+    block the one-hot is laid out state-major — index ``t*B + c`` for
+    state ``t`` of column ``c`` — instead of the interleaved ``c*5 + t``.
+    The MXU does not care (same matmul), but every state reduction of
+    the entropy epilogue becomes five STATIC 128-lane-aligned slice
+    adds (exact f32 VPU) instead of a split-dot against a 0/1 group
+    indicator.  This removes ALL epilogue MXU work, the bf16 hi/lo
+    splits of the (BI*5, BJ*5) block they required, and the per-block
+    indicator build — the round-4 epilogue spent ~320us/tile there
+    (ARCHITECTURE.md hardware trace), the largest half of the kernel.
+    Use :func:`to_slab` to convert interleaved operands/presence.
   * the entropy stage runs on the final S-step while the crosstable
-    block sits in VMEM: the 5-state group reductions are expressed as
-    dots against 0/1 group-indicator matrices (built once per block
-    from iota), keeping every tensor's minor dimension >= 128 — a
-    (TI, TJ, 5, 5) layout would waste 96% of each TPU lane register;
-  * the normalisation division folds into the log identity
-    ``sum pm*xlogx(A/Z) = (sum pm*A*lnA - lnZ*Z)/Z`` so only (BI, BJ)
-    tensors are divided.
+    block sits in VMEM; the normalisation division folds into the log
+    identity ``sum pm*xlogx(A/Z) = (sum pm*A*lnA - lnZ*Z)/Z`` so only
+    (BI, BJ) tensors are divided.
 """
 
 from __future__ import annotations
@@ -42,85 +49,70 @@ BJ = 128   # j-columns per block
 BS = 256   # samples per accumulation step (keeps VMEM demand in budget)
 
 
-def _group_indicator(n_cols: int, dtype):
-    """(n_cols*5, n_cols) 0/1 matrix: G[a, i] = 1 iff a // 5 == i."""
-    a = jax.lax.broadcasted_iota(jnp.int32, (n_cols * N_STATES, n_cols), 0)
-    i = jax.lax.broadcasted_iota(jnp.int32, (n_cols * N_STATES, n_cols), 1)
-    return (a // N_STATES == i).astype(dtype)
+def to_slab(x: jnp.ndarray, bw: int) -> jnp.ndarray:
+    """Interleaved minor axis (..., n*5) -> slab layout.
+
+    Interleaved: index ``c*5 + t`` (state t of column c).  Slab: within
+    each ``bw``-wide column block, index ``b*5*bw + t*bw + c`` — the
+    layout every kernel in this module expects for its one-hot operands
+    AND presence vectors (``bw`` = the kernel's BI/BJ for the i/j side).
+    Works on any leading shape; used by operand prep and tests."""
+    *lead, m = x.shape
+    nb = m // (N_STATES * bw)
+    assert nb * N_STATES * bw == m, (m, bw)
+    return (x.reshape(*lead, nb, bw, N_STATES)
+            .swapaxes(-1, -2)
+            .reshape(*lead, m))
 
 
 def _ln_pos(x):
     return jnp.log(jnp.where(x > 0, x, 1.0))
 
 
-def _rowsum5(x):
-    """(n*5, m) -> (n, m) group sum over the major axis — exact f32 VPU
-    adds, and the reshape is layout-free (splits the major dimension)."""
-    n5, m = x.shape
-    return x.reshape(n5 // N_STATES, N_STATES, m).sum(axis=1)
+def _sum_jstates(x, bw):
+    """(r, bw*5) slab-layout minor axis -> (r, bw): exact f32 adds over
+    the five j-state slabs (static lane-aligned slices — no MXU)."""
+    return (((x[:, :bw] + x[:, bw:2 * bw])
+             + (x[:, 2 * bw:3 * bw] + x[:, 3 * bw:4 * bw]))
+            + x[:, 4 * bw:5 * bw])
 
 
-def _split_dot(x, M, interpret=False):
-    """x(f32) @ M(bf16 0/1): two DEFAULT-precision MXU passes via a
-    bf16 hi/lo split of x — the 0/1 operand is exact, so accuracy is
-    ~2^-16 relative at 1/3 the passes of a HIGHEST f32 dot (which also
-    blew the scoped-VMEM budget).  In interpret (XLA) mode a barrier
-    stops the compiler cancelling x - f32(bf16(x)); Mosaic neither
-    cancels nor lowers the barrier."""
-    guard = jax.lax.optimization_barrier if interpret else (lambda v: v)
-    xh = guard(x.astype(jnp.bfloat16))
-    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
-    d = lambda u: jax.lax.dot_general(
-        u, M, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    return d(xh) + d(xl)
+def _sum_istates(x, bw):
+    """(bw*5, m) slab-layout major axis -> (bw, m): exact adds over the
+    five i-state slabs (static sublane-aligned row slices)."""
+    return (((x[:bw] + x[bw:2 * bw])
+             + (x[2 * bw:3 * bw] + x[3 * bw:4 * bw]))
+            + x[4 * bw:5 * bw])
 
 
-def _mi_from_block(C, ipf, jpf, pc, bj=BJ, interpret=False, concat=False):
-    """(bi, bj) MI from a (bi*5, bj*5) crosstable block in registers.
+def _mi_from_block(C, ipf, jpf, pc, bi=BI, bj=BJ):
+    """(bi, bj) MI from a (bi*5, bj*5) SLAB-layout crosstable block.
 
-    Group reductions over i-states (major axis) are exact reshape-sums;
-    reductions over j-states (minor axis) are split-dots against the
-    jp-masked 0/1 group indicator.  ``concat=True`` fuses the four
-    logical dots (A, A*lnA, R*lnR, R against Mj) into TWO split-dots on
-    row-concatenated operands — each output row's contraction is
-    unchanged (bit-identical results), half the MXU launches at twice
-    the M dim (hardware A/B: wins on the serial schedule, loses under
-    the deferred overlap — scripts/perf_defer_ab.py).
-    """
+    C[t*bi + i, u*bj + c] = weighted count of (i-state t at column i,
+    j-state u at column c); ipf/jpf are slab-flattened presence vectors.
+    Same math as ops/mi.py:mi_from_crosstab_flat (mi.hpp:146-181
+    semantics incl. the full-row-sum quirk of mi.hpp:173): every state
+    reduction is an exact slab add, the division by Z folds into the
+    log identity, and — unlike the round-4 interleaved epilogue — there
+    are NO dots and NO bf16 splits here (pure VPU)."""
     f32 = jnp.float32
-    Mj = (_group_indicator(bj, f32) * jpf[:, None]).astype(jnp.bfloat16)
-
-    pm = ipf[:, None] * jpf[None, :]
+    ipc = ipf[:, None]
+    jrow = jpf[None, :]
+    pm = ipc * jrow
     A = C + pc * pm
     lnA = _ln_pos(A)
-
-    sdot = lambda x, M: _split_dot(x, M, interpret)
-    ipc = ipf[:, None]
-    R = _rowsum5(A)                        # (128, 640) unmasked row sums
+    G1 = _sum_jstates(_sum_istates(A * lnA * pm, bi), bj)  # sum pm*A*lnA
+    B = _sum_jstates(A * jrow, bj)         # (bi*5, bj) masked j-marginal
+    # i-conditional uses the FULL row sum over all i-states (mi.hpp:173)
+    R = _sum_istates(A, bi)                # (bi, bj*5) unmasked row sums
     lnR = _ln_pos(R)
-    # joint-entropy numerator G1 = sum_{s1,s2} pm*A*lnA: reduce the
-    # i-states FIRST (major-axis reshape-sum, cheap VPU adds) so the
-    # Mj-dot and its bf16 split run on a (bi, bj*5) operand instead of
-    # (bi*5, bj*5) — 5x less MXU work and 5x fewer split conversions.
-    # Equal up to f32 summation order (the 5-term pre-sum replaces the
-    # dot's interleaved accumulation).
-    T1r = _rowsum5(A * lnA * ipc)          # (128, 640)
-    if concat:
-        bi_n = R.shape[0]
-        gs = sdot(jnp.concatenate([T1r, R * lnR, R], axis=0), Mj)
-        G1, Gi_, Si_ = gs[:bi_n], gs[bi_n:2 * bi_n], gs[2 * bi_n:]
-        B = sdot(A, Mj)                    # (640, 128) masked col sums
-    else:
-        B = sdot(A, Mj)                    # (640, 128) masked col sums
-        G1 = sdot(T1r, Mj)                 # (128, 128) sum pm*A*lnA
-        Gi_ = sdot(R * lnR, Mj)            # (128, 128)
-        Si_ = sdot(R, Mj)
-    Z = _rowsum5(B * ipc)                  # (128, 128)
+    RJ = R * jrow
+    Gi_ = _sum_jstates(RJ * lnR, bj)
+    Si_ = _sum_jstates(RJ, bj)
+    ipb = ipf[:, None]                     # (bi*5, 1) for B-space ops
+    Z = _sum_istates(B * ipb, bi)          # (bi, bj)
     lnB = _ln_pos(B)
-    Gj_ = _rowsum5(B * lnB * ipc)          # i-marginal entropy numerator
-    # j-marginal uses the FULL row sum over all i-states (mi.hpp:173)
+    Gj_ = _sum_istates(B * lnB * ipb, bi)  # i-marginal entropy numerator
 
     invZ = 1.0 / jnp.maximum(Z, jnp.finfo(f32).tiny)
     lnZ = _ln_pos(Z)
@@ -131,7 +123,7 @@ def _mi_from_block(C, ipf, jpf, pc, bj=BJ, interpret=False, concat=False):
 
 
 def _kernel(xi_hi_ref, xi_lo_ref, xj_ref, ipf_ref, jpf_ref, ipwf_ref, jpwf_ref,
-            mi_ref, wog_ref, C_scratch, *, pc, n_k, bj=BJ, interpret=False,
+            mi_ref, wog_ref, C_scratch, *, pc, n_k, bi=BI, bj=BJ,
             mults=(1, 1), acc_scale=1.0):
     k = pl.program_id(2)
 
@@ -144,12 +136,9 @@ def _kernel(xi_hi_ref, xi_lo_ref, xj_ref, ipf_ref, jpf_ref, ipwf_ref, jpwf_ref,
     @pl.when(k == n_k - 1)
     def _():
         C = _acc_to_f32(C_scratch[:], acc_scale)
-        ipf = ipf_ref[0, :]
-        jpf = jpf_ref[0, :]
-        mi_ref[:] = _mi_from_block(C, ipf, jpf, pc, bj, interpret)
-        ipwf = ipwf_ref[0, :]
-        jpwf = jpwf_ref[0, :]
-        wog_ref[:] = _mi_from_block(C, ipwf, jpwf, pc, bj, interpret)
+        mi_ref[:] = _mi_from_block(C, ipf_ref[0, :], jpf_ref[0, :], pc, bi, bj)
+        wog_ref[:] = _mi_from_block(C, ipwf_ref[0, :], jpwf_ref[0, :], pc,
+                                    bi, bj)
 
 
 def _acc_passes(C_scratch, xi_refs, xj_ref, mults, idx=None):
@@ -184,8 +173,8 @@ def _acc_to_f32(C, scale):
     return C
 
 
-def _kernel_single(*refs, pc, n_k, bj=BJ, interpret=False, n_passes=2,
-                   concat=False, mults=(1, 1), acc_scale=1.0):
+def _kernel_single(*refs, pc, n_k, bi=BI, bj=BJ, n_passes=2,
+                   mults=(1, 1), acc_scale=1.0):
     """Single-variant kernel: mi only (the lazy-wog hot path — the
     gaps-excluded variant is recomputed post-hoc for the few stored
     edges that need it, the sparsity the reference exploits via its
@@ -220,8 +209,7 @@ def _kernel_single(*refs, pc, n_k, bj=BJ, interpret=False, n_passes=2,
     def _():
         mi_ref[:] = _mi_from_block(
             _acc_to_f32(C_scratch[:], acc_scale),
-            ipf_ref[0, :], jpf_ref[0, :], pc, bj, interpret,
-            concat,
+            ipf_ref[0, :], jpf_ref[0, :], pc, bi, bj,
         )
 
 
@@ -244,16 +232,16 @@ def _shifted_maps(nj: int):
     return out, ip, jp
 
 
-def _kernel_single_deferred(*refs, pc, n_k, ni, nj, bj=BJ, interpret=False,
-                            n_passes=2, concat=False, mults=(1, 1),
-                            acc_scale=1.0):
+def _kernel_single_deferred(*refs, pc, n_k, ni, nj, bi=BI, bj=BJ,
+                            n_passes=2, mults=(1, 1), acc_scale=1.0):
     """Software-pipelined twin of :func:`_kernel_single`: block n's
-    entropy epilogue (VPU-heavy: logs, elementwise, small dots) executes
-    during block n+1's FIRST matmul step instead of serially after block
-    n's last — the MXU accumulates the next crosstable while the VPU
-    drains the previous one.  Two parity-selected accumulators replace
-    the single scratch; the final grid block writes its own epilogue on
-    its last step (no successor).  Requires n_k >= 2 (callers gate)."""
+    entropy epilogue (now pure VPU: logs, elementwise, slab adds)
+    executes during block n+1's FIRST matmul step instead of serially
+    after block n's last — the MXU accumulates the next crosstable while
+    the VPU drains the previous one.  Two parity-selected accumulators
+    replace the single scratch; the final grid block writes its own
+    epilogue on its last step (no successor).  Requires n_k >= 2
+    (callers gate)."""
     if n_passes == 2:
         (xi_hi_ref, xi_lo_ref, xj_ref, ipf_ref, jpf_ref,
          mi_ref, C_scratch) = refs
@@ -277,8 +265,7 @@ def _kernel_single_deferred(*refs, pc, n_k, ni, nj, bj=BJ, interpret=False,
     def _():
         mi_ref[:] = _mi_from_block(
             _acc_to_f32(C_scratch[1 - p], acc_scale),
-            ipf_ref[0, :], jpf_ref[0, :], pc, bj,
-            interpret, concat,
+            ipf_ref[0, :], jpf_ref[0, :], pc, bi, bj,
         )
 
     # the final grid block has no successor: epilogue on its last step
@@ -286,111 +273,8 @@ def _kernel_single_deferred(*refs, pc, n_k, ni, nj, bj=BJ, interpret=False,
     def _():
         mi_ref[:] = _mi_from_block(
             _acc_to_f32(C_scratch[p], acc_scale),
-            ipf_ref[0, :], jpf_ref[0, :], pc, bj, interpret,
-            concat,
+            ipf_ref[0, :], jpf_ref[0, :], pc, bi, bj,
         )
-
-
-def _strided_chunk(bi: int, n_k: int) -> tuple[int, int]:
-    """Slab geometry for the strided schedule: slabs slice the previous
-    block's (bi*5, bj*5) crosstable along i-state rows, so the row count
-    must cover whole i-positions (multiple of 5) on f32 sublane
-    boundaries (multiple of 8) -> multiples of 40.  Returns (rows per
-    slab, number of slabs); slabs overlap by re-computing identical rows
-    when 40*ceil does not divide bi*5 exactly (idempotent rewrites)."""
-    rows5 = bi * N_STATES
-    c = 40 * -(-rows5 // (40 * n_k))
-    return c, -(-rows5 // c)
-
-
-def _strided_maps(nj: int, n_k: int, last: int):
-    """Index maps for the strided schedule: every k step of block idx
-    keeps the output/presence windows on block idx-1 (slab writes land
-    there), except the final grid block's last step, which swings to the
-    block itself for its own epilogue.  Window visits stay contiguous:
-    window w is written during all of block w+1's steps (w < last) and
-    window ``last`` only on the final step."""
-
-    def tgt(i, j, k):
-        idx = i * nj + j
-        prev = jnp.maximum(idx - 1, 0)
-        return jnp.where((idx == last) & (k == n_k - 1), idx, prev)
-
-    out = lambda i, j, k: (tgt(i, j, k) // nj, tgt(i, j, k) % nj)
-    ip = lambda i, j, k: (0, tgt(i, j, k) // nj)
-    jp = lambda i, j, k: (0, tgt(i, j, k) % nj)
-    return out, ip, jp
-
-
-def _kernel_single_strided(*refs, pc, n_k, ni, nj, bi=BI, bj=BJ,
-                           interpret=False, n_passes=2, mults=(1, 1),
-                           acc_scale=1.0):
-    """Strided-epilogue twin of :func:`_kernel_single`: the previous
-    block's entropy epilogue is split into row SLABS executed
-    unconditionally across this block's matmul steps — slab k runs
-    right after matmul step k, giving Mosaic MXU work (the crosstable
-    pass) and VPU work (the slab's logs/elementwise) in ONE straight-
-    line step body instead of a serial whole-block epilogue inside a
-    single pl.when (which Mosaic does not overlap with the matmuls).
-
-    Correct because the epilogue is row-parallel: mi rows [r0/5, r0/5+c/5)
-    depend only on crosstable rows [r0, r0+c) (every reduction in
-    _mi_from_block is either over i-states within a row group or over
-    j-states within a row).  The final grid block keeps the serial
-    shape: its predecessor's epilogue runs whole at its k==0 and its own
-    on its last step (window maps in :func:`_strided_maps`)."""
-    if n_passes == 2:
-        (xi_hi_ref, xi_lo_ref, xj_ref, ipf_ref, jpf_ref,
-         mi_ref, C_scratch) = refs
-        xi_refs = (xi_hi_ref, xi_lo_ref)
-    else:
-        xi_hi_ref, xj_ref, ipf_ref, jpf_ref, mi_ref, C_scratch = refs
-        xi_refs = (xi_hi_ref,)
-    i, j, k = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    idx = i * nj + j
-    last = ni * nj - 1
-    p = jax.lax.rem(idx, 2)
-    rows5 = bi * N_STATES
-    c, n_slabs = _strided_chunk(bi, n_k)
-
-    @pl.when(k == 0)
-    def _():
-        C_scratch[p] = jnp.zeros_like(C_scratch[p])
-
-    _acc_passes(C_scratch, xi_refs, xj_ref, mults[:n_passes], idx=p)
-
-    # slab s of the previous block's epilogue runs at matmul step k == s
-    # (plain blocks only).  The loop is unrolled in Python so every
-    # slice offset is STATIC — Mosaic cannot prove alignment of
-    # dynamically-offset vector loads at these shapes (hardware compile
-    # rejects pl.ds with traced offsets here even with multiple_of
-    # hints), but static slices are free.
-    for s in range(n_slabs):
-        r0 = min(s * c, rows5 - c)
-
-        @pl.when((idx > 0) & (idx != last) & (k == s))
-        def _(r0=r0):
-            A = _acc_to_f32(C_scratch[1 - p, r0:r0 + c, :], acc_scale)
-            ipf = ipf_ref[0, r0:r0 + c]
-            mi_ref[r0 // N_STATES:(r0 + c) // N_STATES, :] = _mi_from_block(
-                A, ipf, jpf_ref[0, :], pc, bj, interpret)
-
-    # the final block serialises: whole predecessor epilogue at k==0
-    # (its last slab would collide with the own-epilogue window swing),
-    # own epilogue on the last step.  With one grid block the k==0 write
-    # is uninitialised-scratch garbage into the block's own window,
-    # overwritten by the k==n_k-1 epilogue before write-back.
-    @pl.when((idx == last) & (k == 0))
-    def _():
-        mi_ref[:] = _mi_from_block(
-            _acc_to_f32(C_scratch[1 - p], acc_scale),
-            ipf_ref[0, :], jpf_ref[0, :], pc, bj, interpret)
-
-    @pl.when((idx == last) & (k == n_k - 1))
-    def _():
-        mi_ref[:] = _mi_from_block(
-            _acc_to_f32(C_scratch[p], acc_scale),
-            ipf_ref[0, :], jpf_ref[0, :], pc, bj, interpret)
 
 
 def mi_tile_pallas_single(
@@ -406,7 +290,6 @@ def mi_tile_pallas_single(
     bj: int = BJ,
     n_passes: int = 2,
     defer: bool | None = None,
-    epi_concat: bool = False,
     pass_mults: tuple = (1, 1),
     acc_scale: float = 1.0,
     schedule: str | None = None,
@@ -414,11 +297,16 @@ def mi_tile_pallas_single(
     """mi (TI, TJ) f32 only — same matmul + epilogue as the dual kernel
     minus the wog pass (bit-identical mi values).
 
+    Operands and presence vectors are SLAB layout (see :func:`to_slab`):
+    the output (TI, TJ) is plain column order.
+
     ``defer`` selects the software-pipelined schedule (epilogue of block
     n overlaps block n+1's matmul; bit-identical results — same
     accumulation and epilogue math, only the schedule moves).  Default:
     on when the S grid has >= 2 steps; SPYDRPICK_PALLAS_DEFER=0 opts
-    out.
+    out.  (The round-4 ``strided`` schedule was removed: it was
+    measured performance-neutral, and the slab epilogue removed the
+    MXU-in-epilogue contention it targeted.)
 
     int8 operands select the MXU int8 path (int32 accumulator scratch,
     2x bf16 throughput on v5e): exact 0/1 one-hots for unit weights
@@ -444,36 +332,27 @@ def mi_tile_pallas_single(
             if not schedule:
                 schedule = ("defer" if os.environ.get(
                     "SPYDRPICK_PALLAS_DEFER", "1") == "1" else "serial")
-    if schedule not in ("serial", "defer", "strided"):
+    if schedule not in ("serial", "defer"):
         raise ValueError(
             f"unknown pallas schedule {schedule!r} "
-            "(expected serial | defer | strided)")
+            "(expected serial | defer)")
     if n_k < 2:
-        schedule = "serial"  # pipelined schedules need a successor step
+        schedule = "serial"  # pipelined schedule needs a successor step
     acc_dt = jnp.int32 if xi_hi.dtype == jnp.int8 else jnp.float32
     assert xj.dtype == xi_hi.dtype, (xi_hi.dtype, xj.dtype)
 
     xi_spec = pl.BlockSpec((bs, bi * N_STATES), lambda i, j, k: (k, i))
-    if schedule == "strided":
-        kernel = functools.partial(
-            _kernel_single_strided, pc=pseudocount, n_k=n_k, ni=ni, nj=nj,
-            bi=bi, bj=bj, interpret=interpret, n_passes=n_passes,
-            mults=pass_mults, acc_scale=acc_scale,
-        )
-        out_map, ip_map, jp_map = _strided_maps(nj, n_k, ni * nj - 1)
-        scratch = pltpu.VMEM((2, bi * N_STATES, bj * N_STATES), acc_dt)
-    elif schedule == "defer":
+    if schedule == "defer":
         kernel = functools.partial(
             _kernel_single_deferred, pc=pseudocount, n_k=n_k, ni=ni, nj=nj,
-            bj=bj, interpret=interpret, n_passes=n_passes,
-            concat=epi_concat, mults=pass_mults, acc_scale=acc_scale,
+            bi=bi, bj=bj, n_passes=n_passes,
+            mults=pass_mults, acc_scale=acc_scale,
         )
         out_map, ip_map, jp_map = _shifted_maps(nj)
         scratch = pltpu.VMEM((2, bi * N_STATES, bj * N_STATES), acc_dt)
     else:
         kernel = functools.partial(_kernel_single, pc=pseudocount, n_k=n_k,
-                                   bj=bj, interpret=interpret,
-                                   n_passes=n_passes, concat=epi_concat,
+                                   bi=bi, bj=bj, n_passes=n_passes,
                                    mults=pass_mults, acc_scale=acc_scale)
         out_map = lambda i, j, k: (i, j)
         ip_map = lambda i, j, k: (0, i)
@@ -536,7 +415,8 @@ def crosstab_tile_pallas(
     """(TI*5, TJ*5) weighted crosstable — same matmul passes as the
     fused kernel, materialised so a sample-sharded caller can psum the
     counts over its mesh axis BEFORE the entropy stage (the collective
-    sits between this and :func:`mi_epilogue_pallas`).
+    sits between this and :func:`mi_epilogue_pallas`).  Slab operands
+    in, slab-layout crosstable out.
 
     bf16 hi/lo operands accumulate f32; int8 operands accumulate int32
     with ``pass_mults`` digit recombination — int32 partials psum
@@ -574,22 +454,21 @@ def crosstab_tile_pallas(
     )(*args)
 
 
-def _epilogue_kernel(*refs, pc, bj, interpret, dual):
+def _epilogue_kernel(*refs, pc, bi, bj, dual):
     if dual:
         c_ref, ipf_ref, jpf_ref, ipwf_ref, jpwf_ref, mi_ref, wog_ref = refs
     else:
         c_ref, ipf_ref, jpf_ref, mi_ref = refs
     C = c_ref[:]
-    mi_ref[:] = _mi_from_block(C, ipf_ref[0, :], jpf_ref[0, :], pc, bj,
-                               interpret)
+    mi_ref[:] = _mi_from_block(C, ipf_ref[0, :], jpf_ref[0, :], pc, bi, bj)
     if dual:
         wog_ref[:] = _mi_from_block(C, ipwf_ref[0, :], jpwf_ref[0, :], pc,
-                                    bj, interpret)
+                                    bi, bj)
 
 
 def mi_epilogue_pallas(
-    C: jnp.ndarray,        # (TI*5, TJ*5) f32 (psum-merged) crosstable
-    ipf: jnp.ndarray,      # (TI*5,) f32 presence
+    C: jnp.ndarray,        # (TI*5, TJ*5) f32 (psum-merged) SLAB crosstable
+    ipf: jnp.ndarray,      # (TI*5,) f32 slab presence
     jpf: jnp.ndarray,      # (TJ*5,) f32
     ipwf: jnp.ndarray | None = None,   # presence w/o gaps (dual mode)
     jpwf: jnp.ndarray | None = None,
@@ -618,8 +497,8 @@ def mi_epilogue_pallas(
     if dual:
         args += (ipwf.reshape(1, -1), jpwf.reshape(1, -1))
     res = pl.pallas_call(
-        functools.partial(_epilogue_kernel, pc=pseudocount, bj=bj,
-                          interpret=interpret, dual=dual),
+        functools.partial(_epilogue_kernel, pc=pseudocount, bi=bi, bj=bj,
+                          dual=dual),
         grid=grid,
         in_specs=in_specs,
         out_specs=[out_spec, out_spec] if dual else out_spec,
@@ -643,12 +522,12 @@ def split_bf16(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def mi_tile_pallas(
-    xi_hi: jnp.ndarray,   # (S, TI*5) bf16 weighted one-hot, hi part
-    xi_lo: jnp.ndarray,   # (S, TI*5) bf16 residual
-    xj: jnp.ndarray,      # (S, TJ*5) bf16 one-hot
-    ipf: jnp.ndarray,     # (TI*5,) f32 presence
+    xi_hi: jnp.ndarray,   # (S, TI*5) bf16 weighted one-hot, hi part (slab)
+    xi_lo: jnp.ndarray,   # (S, TI*5) bf16 residual (slab)
+    xj: jnp.ndarray,      # (S, TJ*5) bf16 one-hot (slab)
+    ipf: jnp.ndarray,     # (TI*5,) f32 slab presence
     jpf: jnp.ndarray,     # (TJ*5,) f32
-    ipwf: jnp.ndarray,    # (TI*5,) f32 presence w/o gaps
+    ipwf: jnp.ndarray,    # (TI*5,) f32 slab presence w/o gaps
     jpwf: jnp.ndarray,    # (TJ*5,) f32
     pseudocount: float = 0.5,
     interpret: bool | None = None,
@@ -672,9 +551,8 @@ def mi_tile_pallas(
     grid = (TI // bi, TJ // bj, n_k)
     acc_dt = jnp.int32 if xi_hi.dtype == jnp.int8 else jnp.float32
 
-    kernel = functools.partial(_kernel, pc=pseudocount, n_k=n_k, bj=bj,
-                               interpret=interpret, mults=pass_mults,
-                               acc_scale=acc_scale)
+    kernel = functools.partial(_kernel, pc=pseudocount, n_k=n_k, bi=bi, bj=bj,
+                               mults=pass_mults, acc_scale=acc_scale)
     mi, wog = pl.pallas_call(
         kernel,
         grid=grid,
@@ -699,8 +577,6 @@ def mi_tile_pallas(
             pltpu.VMEM((bi * N_STATES, bj * N_STATES), acc_dt),
         ],
         compiler_params=pltpu.CompilerParams(
-            # the entropy stage's HIGHEST-precision dots need more scoped
-            # VMEM than the 16MB default (measured 18.4MB)
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,

@@ -523,7 +523,9 @@ def sharded_sweep(
 
     colmax_d = shard_init((n_dev, st.Lp), np.dtype(bd), -np.inf)
     mi_s = shard_init((n_dev, cap_lines, LN), np.dtype(bd))
-    wog_s = shard_init((n_dev, cap_lines, LN), np.dtype(bd))
+    # lazy mode never writes nor drains the wog store (rows_group_core
+    # elides the append; make_drain skips the gather) — 1-line dummy
+    wog_s = shard_init((n_dev, 1 if lazy else cap_lines, LN), np.dtype(bd))
     ip_s = shard_init((n_dev, cap_lines, LN), np.int32)
     jp_s = shard_init((n_dev, cap_lines, LN), np.int32)
     offset = shard_init((n_dev,), np.int32)  # in lines

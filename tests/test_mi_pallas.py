@@ -5,10 +5,17 @@ import jax.numpy as jnp
 import pytest
 
 from spydrpick_tpu.core.alphabet import N_STATES
-from spydrpick_tpu.ops.mi_pallas import BI, BJ, BS, mi_tile_pallas, split_bf16
+from spydrpick_tpu.ops.mi_pallas import (
+    BI, BJ, BS, mi_tile_pallas, split_bf16, to_slab,
+)
 from spydrpick_tpu.ops.reference import crosstab_pair, mi_single
 
 from tests.conftest import random_alignment
+
+
+def _slab_presence(p):
+    """(L, 5) presence -> slab-flattened (L*5,) f32 kernel operand."""
+    return jnp.asarray(to_slab(p.astype(np.float32).reshape(-1), BI))
 
 
 def _setup(n_samples=100, n_loci=BI, seed=4, gap_frac=0.25):
@@ -20,16 +27,18 @@ def _setup(n_samples=100, n_loci=BI, seed=4, gap_frac=0.25):
     np.put_along_axis(oh[:S], al.codes[:, :, None].astype(np.int64), 1, axis=2)
     w = np.zeros(Sp)
     w[:S] = al.weights
-    xi_w = (oh * w[:, None, None]).reshape(Sp, L * N_STATES).astype(np.float32)
-    xj = oh.reshape(Sp, L * N_STATES)
+    # kernels take slab-layout operands (ops/mi_pallas.to_slab)
+    xi_w = to_slab((oh * w[:, None, None])
+                   .reshape(Sp, L * N_STATES).astype(np.float32), BI)
+    xj = to_slab(oh.reshape(Sp, L * N_STATES), BI)
     hi, lo = split_bf16(jnp.asarray(xi_w))
     return al, hi, lo, jnp.asarray(xj, jnp.bfloat16)
 
 
 def test_pallas_kernel_matches_oracle():
     al, hi, lo, xj = _setup()
-    ipf = jnp.asarray(al.state_presence.astype(np.float32).reshape(-1))
-    ipwf = jnp.asarray(al.state_presence_wo_gaps.astype(np.float32).reshape(-1))
+    ipf = _slab_presence(al.state_presence)
+    ipwf = _slab_presence(al.state_presence_wo_gaps)
     mi, wog = mi_tile_pallas(hi, lo, xj, ipf, ipf, ipwf, ipwf,
                              pseudocount=0.5, interpret=True)
     mi = np.asarray(mi)
@@ -51,8 +60,8 @@ def test_pallas_kernel_matches_oracle():
 def test_pallas_kernel_multiblock_grid():
     """TI = 2*BI exercises the (i, j) grid and scratch revisiting."""
     al, hi, lo, xj = _setup(n_samples=60, n_loci=2 * BI, seed=9, gap_frac=0.1)
-    ipf = jnp.asarray(al.state_presence.astype(np.float32).reshape(-1))
-    ipwf = jnp.asarray(al.state_presence_wo_gaps.astype(np.float32).reshape(-1))
+    ipf = _slab_presence(al.state_presence)
+    ipwf = _slab_presence(al.state_presence_wo_gaps)
     mi, _ = mi_tile_pallas(hi, lo, xj, ipf, ipf, ipwf, ipwf, interpret=True)
     mi = np.asarray(mi)
     rng = np.random.default_rng(0)
@@ -67,20 +76,18 @@ def test_pallas_kernel_multiblock_grid():
 
 @pytest.mark.parametrize("n_blocks,n_k", [(1, 2), (2, 2), (2, 4), (2, 8)])
 def test_single_kernel_schedules_bit_identical(n_blocks, n_k):
-    """serial / defer / strided are the SAME math on a moved schedule —
-    results must be bit-identical, incl. single-block grids (the strided
-    final-block garbage-overwrite case) and n_slabs < n_k geometries."""
+    """serial / defer are the SAME math on a moved schedule — results
+    must be bit-identical, incl. single-block grids."""
     from spydrpick_tpu.ops.mi_pallas import mi_tile_pallas_single
 
     al, hi, lo, xj = _setup(n_samples=n_k * BS, n_loci=n_blocks * BI,
                             seed=7, gap_frac=0.2)
-    ipf = jnp.asarray(al.state_presence.astype(np.float32).reshape(-1))
+    ipf = _slab_presence(al.state_presence)
     run = lambda sched: np.asarray(mi_tile_pallas_single(
         hi, lo, xj, ipf, ipf, interpret=True, schedule=sched))
     serial = run("serial")
     assert np.isfinite(serial).all()
     np.testing.assert_array_equal(serial, run("defer"))
-    np.testing.assert_array_equal(serial, run("strided"))
 
 
 def test_split_bf16_accuracy():
