@@ -802,6 +802,11 @@ def sharded_sweep(
             fetched_lines_total + int(offs_np.sum())
         ) * LN
         timings["epoch_drains"] = (len(ep_futs) - 1 if packed else len(ep_i))
+        # dispatch-step count (scaling model: ceil(items / (n_dev * G)))
+        # and the mesh row-shard count, for the measured-scaling harness
+        # (scripts/perf_scaling.py) and its regression test
+        timings["steps"] = len(steps)
+        timings["n_dev"] = n_dev
 
     if checkpoint_path and jax.process_index() == 0:
         import os

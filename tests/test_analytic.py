@@ -154,6 +154,132 @@ def test_hand_derived_mi_pallas_kernel():
 
 
 # --------------------------------------------------------------------- #
+# Fixture D — gap-row mass spread over TWO present j-states (the
+# mi.hpp:173 full-row-sum quirk with a non-degenerate wo-gaps table).
+#
+# col_i = [0, 0, 1, 4, 4], col_j = [2, 3, 2, 2, 3], w = 1, pc = 0.5.
+# Counts: C[0,2]=1, C[0,3]=1, C[1,2]=1, C[4,2]=1, C[4,3]=1.
+#
+# WITHOUT gaps (ipw = {0,1}, jpw = {2,3}; gap row 4 keeps raw counts):
+#   A (masked cells) = [[1.5, 1.5], [1.5, 0.5]] on {0,1}x{2,3}, Z = 5.
+#   jointH = xlx(.3)+xlx(.3)+xlx(.3)+xlx(.1)
+#   icondH (FULL column sums incl. row 4's raw counts, /Z):
+#     col 2: (1.5+1.5+1)/5 = 0.8 ; col 3: (1.5+0.5+1)/5 = 0.6
+#     icondH = xlx(0.8) + xlx(0.6)      <- 1.4 > 1: quirk visible
+#   jcondH (masked row sums): xlx(0.6) + xlx(0.4)
+#   MI_wog = jointH - icondH - jcondH
+# (a mask-correct icondH would use 0.6/0.4 — the hand value below pins
+# the quirk with BOTH present j-states carrying gap-row mass)
+# --------------------------------------------------------------------- #
+D_COL_I = [0, 0, 1, 4, 4]
+D_COL_J = [2, 3, 2, 2, 3]
+D_MI_WOG = (xlx(0.3) + xlx(0.3) + xlx(0.3) + xlx(0.1)) \
+    - (xlx(0.8) + xlx(0.6)) - (xlx(0.6) + xlx(0.4))
+
+
+def test_gap_row_mass_two_present_jstates():
+    """Fixture D: quirk value with gap mass under two present j-states,
+    oracle + engine (wo-gaps variant)."""
+    from spydrpick_tpu.ops.reference import crosstab_pair, mi_single
+
+    al = _align([D_COL_I, D_COL_J])
+    w = np.ones(5)
+    C = crosstab_pair(al.codes[:, 0], al.codes[:, 1], w)
+    ipw, jpw = al.state_presence_wo_gaps[0], al.state_presence_wo_gaps[1]
+    assert mi_single(C, ipw, jpw, 0.5) == pytest.approx(D_MI_WOG, abs=1e-12)
+
+    eng = MIEngine(al, EngineConfig(tile=8, wog_fetch="full"))
+    edges = eng.sweep(-10.0)
+    k = {(i, j): wg for i, j, wg in
+         zip(edges.ipos, edges.jpos, edges.mi_wog)}
+    assert k[(0, 1)] == pytest.approx(D_MI_WOG, abs=2e-6)
+
+
+# --------------------------------------------------------------------- #
+# Filter boundary equality (README.md:49: MAF "at least" 1%, gaps
+# "at most" 15% — both INCLUSIVE).  n = 200 samples so the boundary
+# frequencies are exact binary-rational quotients of the thresholds.
+# --------------------------------------------------------------------- #
+
+def test_filter_boundaries_inclusive():
+    from spydrpick_tpu.core.filter import FilterParams, filter_mask
+
+    n = 200
+    def col(second_count, gap_count):
+        c = np.zeros(n, np.uint8)          # majority state 0
+        c[:second_count] = 1               # minor allele
+        c[n - gap_count:] = 4              # gaps
+        assert second_count + gap_count <= n
+        return c
+
+    cols = [
+        col(2, 0),    # MAF = 2/200 = 0.01 exactly -> KEPT ("at least")
+        col(1, 0),    # MAF = 0.005 < 0.01        -> dropped
+        col(4, 30),   # gaps = 30/200 = 0.15 exactly -> KEPT ("at most")
+        col(4, 31),   # gaps = 0.155 > 0.15          -> dropped
+        col(0, 0),    # single allele                -> dropped
+        col(2, 30),   # both exactly at boundary     -> KEPT
+    ]
+    al = _align([c.tolist() for c in cols])
+    mask = filter_mask(al, FilterParams(maf_threshold=0.01,
+                                        gap_threshold=0.15))
+    assert mask.tolist() == [True, False, True, False, False, True]
+
+
+# --------------------------------------------------------------------- #
+# Circular distance at the exact half-genome tie (mi.hpp:313-320:
+# min(d, G - d); at d == G/2 both arms agree) and the STRICT ld
+# inequality on colmax gating (mi.hpp:423-427: dist > ld).
+# --------------------------------------------------------------------- #
+
+def test_circular_half_genome_tie_and_strict_ld():
+    G = 16
+    # two perfectly coupled columns at original positions 0 and 8 = G/2
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 2, size=40)
+    codes = np.stack([base, base], axis=1).astype(np.uint8)
+    al = Alignment(codes, [f"s{i}" for i in range(40)], "half",
+                   np.array([0, 8], dtype=np.int64), G)
+    # distance = min(8, 16-8) = 8 on both arms
+    eng = MIEngine(al, EngineConfig(tile=8, ld_threshold=8))
+    e = eng.sweep(-10.0)
+    assert e.n_edges == 1  # storage is NOT ld-gated (mi.hpp:430-434)
+    # colmax IS: dist 8 > ld 8 is FALSE -> no colmax contribution
+    assert not np.isfinite(e.colmax).any()
+    eng2 = MIEngine(al, EngineConfig(tile=8, ld_threshold=7))
+    e2 = eng2.sweep(-10.0)
+    assert np.isfinite(e2.colmax).all()  # 8 > 7 -> tracked
+
+
+# --------------------------------------------------------------------- #
+# Weight w == w duplicated rows: integer weights make every crosstable
+# count identical (exact integer arithmetic in both paths), so the two
+# engines' edge sets must match BIT FOR BIT — an oracle-independent
+# identity of the weighting semantics (apegrunt cache_sample_weights
+# consumption at mi_parameters.hpp:53-60).
+# --------------------------------------------------------------------- #
+
+def test_integer_weights_equal_duplicated_rows_bitwise():
+    rng = np.random.default_rng(9)
+    S, L = 12, 24
+    codes = rng.integers(0, 4, size=(S, L)).astype(np.uint8)
+    codes[rng.random((S, L)) < 0.1] = 4
+    w = rng.integers(1, 4, size=S).astype(np.float64)  # 1..3 copies
+    al_w = _align(codes.T.tolist(), weights=w)
+    dup = np.repeat(codes, w.astype(int), axis=0)
+    al_d = _align(dup.T.tolist())   # unit weights
+    e_w = MIEngine(al_w, EngineConfig(tile=8, wog_fetch="full")) \
+        .sweep(-10.0).sort_desc()
+    e_d = MIEngine(al_d, EngineConfig(tile=8, wog_fetch="full")) \
+        .sweep(-10.0).sort_desc()
+    np.testing.assert_array_equal(e_w.ipos, e_d.ipos)
+    np.testing.assert_array_equal(e_w.jpos, e_d.jpos)
+    np.testing.assert_array_equal(e_w.mi, e_d.mi)
+    np.testing.assert_array_equal(e_w.mi_wog, e_d.mi_wog)
+    np.testing.assert_array_equal(e_w.colmax, e_d.colmax)
+
+
+# --------------------------------------------------------------------- #
 # Weighted tournament: determine_mi_threshold vs an independent
 # from-scratch reimplementation (sampling replicated seed-for-seed;
 # per-pair MI computed with the formula hand-written below, f64).
