@@ -172,7 +172,7 @@ def main():
         al,
         EngineConfig(tile=tile, use_pallas_compact=compact,
                      rows_per_dispatch=rows_per_dispatch,
-                     pipeline_depth=int(os.environ.get("BENCH_DEPTH", 1)),
+                     pipeline_depth=int(os.environ.get("BENCH_DEPTH", 2)),
                      onehot_storage=os.environ.get("BENCH_ONEHOT", "auto"),
                      row_window=int(os.environ.get("BENCH_ROW_WINDOW", 0)),
                      mxu_int8=os.environ.get("BENCH_MXU_INT8", "auto"),
@@ -276,6 +276,8 @@ def main():
             "samples": S, "loci": L, "tile": tile,
             "backend": jax.default_backend(),
             "int8_mode": engine.statics.int8_mode,
+            "pallas_bs": engine.statics.pallas_bs,
+            "rows_per_dispatch": rows_per_dispatch,
             "threshold": round(threshold, 6),
             "edges": int(edges.n_edges),
             "sweep_seconds": round(dt, 3),

@@ -101,7 +101,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "auto switches to codes past 1 GiB — large alignments)")
     g.add_argument("--rows-per-dispatch", type=int, default=8,
                    help="block-rows swept per device dispatch")
-    g.add_argument("--pipeline-depth", type=int, default=1,
+    g.add_argument("--pipeline-depth", type=int, default=2,
                    help="counts-sync pipeline depth (2 = dispatch the next "
                         "group before reading the previous group's counts)")
     g.add_argument("--row-window", type=int, default=0,

@@ -69,8 +69,12 @@ class EngineConfig:
     rows_per_dispatch: int = 8      # block-rows per device dispatch
     # counts-sync pipeline depth (host loop): 1 = synchronous per-group
     # resolve; 2 = bounded lag-1 (next group dispatched before the
-    # previous group's counts are read)
-    pipeline_depth: int = 1
+    # previous group's counts are read).  Depth 2 hides the per-group
+    # counts round-trip behind the next group's compute — with the
+    # round-5 kernel it won the production A/B (318 -> 325M pairs/s at
+    # 30k, scripts/results_r5_b.log); checkpointed runs force depth 1
+    # (snapshots need synchronous bookkeeping).
+    pipeline_depth: int = 2
     # MXU passes for the f32 crosstable matmul: "highest" = 6-pass
     # (full f32), "high" = 3-pass. The one-hot operand is exact in
     # bf16, so "high" splits only the weighted side and is ~f32-exact;
@@ -1046,13 +1050,14 @@ def build_device_data(alignment: Alignment, config: EngineConfig) -> tuple[Devic
     # sample-block size: biggest swept block whose zero-row padding
     # stays under ~15% (scripts/perf_kernel_sweep.py: 768 ~20% faster
     # than 256 at S~3k; padding rows are exact no-ops but cost matmul).
-    # int8 operands halve the per-pass stream, shifting the optimum up:
-    # bs=1536 beat 768 by ~3% compute in the interleaved hardware A/B
-    # (scripts/results_r4/ab_bs1536.log, bit-identical by int32
-    # exactness), so int8 engines admit the larger candidate.
+    # int8 operands halve the per-pass stream, shifting the optimum up;
+    # with the slab epilogue (round 5) the whole-S block bs=3072 won the
+    # production A/B outright at the 30k bench config — 299 -> 318M
+    # pairs/s (scripts/results_r5_b.log; single k-step per block, no
+    # revisiting) — so int8 engines admit it first.
     pallas_bs = _BS
     if use_pallas:
-        cands = (1536, 768, 512, 384, 256) if int8_mode != "off" \
+        cands = (3072, 1536, 768, 512, 384, 256) if int8_mode != "off" \
             else (768, 512, 384, 256)
         for b in cands:
             if _ceil_to(S, b) <= 1.15 * S or b == 256:
