@@ -276,8 +276,11 @@ class EdgeSet:
         (-mi, ipos, jpos): -mi (exact f64 negation) keeps distinct tie
         runs grouped in descending-MI order while each run internally
         sorts by (ipos, jpos) — identical output to a per-run lexsort,
-        with no O(runs) Python loop on quantised/low-entropy data."""
-        order = np.argsort(self.mi, kind="stable")[::-1]
+        with no O(runs) Python loop on quantised/low-entropy data.
+        The initial argsort needs no stability (ties are re-ordered by
+        the fixup regardless of their incoming order), so the default
+        introsort replaces the ~3x slower stable mergesort."""
+        order = np.argsort(self.mi)[::-1]
         mi_s = self.mi[order]
         eq = mi_s[1:] == mi_s[:-1]
         if eq.any():

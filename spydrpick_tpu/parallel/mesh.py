@@ -371,6 +371,49 @@ class ShardedEngineView:
     def pair_mi(self, ipos, jpos, chunk: int = 8192) -> np.ndarray:
         return self._chunked(self._pairs_mi, lambda r: r, ipos, jpos, chunk)
 
+    def pair_quantiles(self, ipos, jpos, iters: int, n_valid: int, k: int,
+                       chunk: int = 8192) -> np.ndarray:
+        """One-dispatch tournament on the 2-D mesh (psum crosstables) —
+        same contract as MIEngine.pair_quantiles: (iters,) order
+        statistics, the only down-traffic."""
+        from spydrpick_tpu.engine.solver import (
+            _ceil_to,
+            pairs_quantile_core,
+        )
+
+        Pp = _ceil_to(n_valid, chunk)
+        nc = Pp // chunk
+        dt = np.uint16 if self.st.Lp <= (1 << 16) else np.int32
+        ip3 = np.zeros((iters, Pp), dtype=dt)
+        jp3 = np.zeros((iters, Pp), dtype=dt)
+        for it in range(iters):
+            ip3[it, :n_valid] = ipos[it * n_valid: (it + 1) * n_valid]
+            jp3[it, :n_valid] = jpos[it * n_valid: (it + 1) * n_valid]
+        key = ("quant", iters, nc, chunk, str(dt))
+        fn = getattr(self, "_quant_fns", None)
+        if fn is None:
+            self._quant_fns = {}
+        f = self._quant_fns.get(key)
+        if f is None:
+            st_loc = self._st_loc
+            mesh, data_specs = self.mesh, self._data_specs
+
+            @jax.jit
+            @_smap(mesh=mesh,
+                   in_specs=(data_specs, P(), P(), P(), P()),
+                   out_specs=P())
+            def f(data, ip3, jp3, n_valid, kk):
+                return pairs_quantile_core(data, st_loc, ip3, jp3,
+                                           n_valid, kk)
+
+            self._quant_fns[key] = f
+        out = f(self.data,
+                jnp.asarray(ip3.reshape(iters, nc, chunk)),
+                jnp.asarray(jp3.reshape(iters, nc, chunk)),
+                jnp.asarray(n_valid, jnp.int32),
+                jnp.asarray(k, jnp.int32))
+        return np.asarray(out, dtype=np.float64)
+
     def pair_wog(self, ipos, jpos, chunk: int = 8192) -> np.ndarray:
         return self._chunked(self._pairs_dual, lambda r: r[1], ipos, jpos,
                              chunk)
