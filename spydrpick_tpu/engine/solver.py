@@ -268,29 +268,46 @@ class EdgeSet:
         """Descending MI, ties broken by (ipos, jpos) for determinism
         (reference Graph::sort at src/SpydrPick.cpp:398).
 
-        One f64 argsort + a single vectorised lexsort over only the
-        tied elements instead of a 3-key lexsort (3 stable merge
-        sorts): at the 1e7-edge default the full lexsort took ~23 s of
-        the end-to-end wall on a small host while exact-equal MI runs
-        are a vanishing fraction.  The fixup keys tied elements by
-        (-mi, ipos, jpos): -mi (exact f64 negation) keeps distinct tie
-        runs grouped in descending-MI order while each run internally
-        sorts by (ipos, jpos) — identical output to a per-run lexsort,
-        with no O(runs) Python loop on quantised/low-entropy data.
-        The initial argsort needs no stability (ties are re-ordered by
-        the fixup regardless of their incoming order), so the default
-        introsort replaces the ~3x slower stable mergesort."""
+        One unstable f32 argsort to RANK the MI values (ties share a
+        rank), then one unstable int64 argsort of the packed key
+        ``rank * L^2 + ipos * L + jpos`` — unique per edge (pairs are
+        unique in the store), so no stability and no tie fixup is
+        needed and the cost is independent of the tie structure.  A
+        3-key lexsort (3 stable merge sorts) took ~23 s at the
+        1e7-edge default; the previous tied-span lexsort degraded to
+        that on quantised/low-entropy data where most MI values
+        collide (measured 3.3 s vs 0.8 s here at 3.2M edges).  The
+        packed key needs ``n_ranks * L^2 < 2^63`` (L = 1 + max
+        position actually present — NOT colmax's length, which toy
+        EdgeSets may not size to the position range); past that (only
+        the ~1M-column class with >~1e7 distinct MI values) fall back
+        to the tied-span lexsort."""
+        n = len(self.mi)
         order = np.argsort(self.mi)[::-1]
         mi_s = self.mi[order]
         eq = mi_s[1:] == mi_s[:-1]
-        if eq.any():
-            tied = np.zeros(len(mi_s), dtype=bool)
-            tied[1:] = eq
-            tied[:-1] |= eq
-            sub = order[tied]
-            sub = sub[np.lexsort(
-                (self.jpos[sub], self.ipos[sub], -self.mi[sub]))]
-            order[tied] = sub
+        if not eq.any():
+            pass  # already correct: strictly descending, no ties
+        else:
+            L = int(self.jpos.max()) + 1  # jpos > ipos always
+            L2 = L * L
+            rank = np.empty(n, dtype=np.int64)
+            rank_s = np.empty(n, dtype=np.int64)
+            rank_s[0] = 0
+            np.cumsum(mi_s[1:] != mi_s[:-1], out=rank_s[1:])
+            rank[order] = rank_s
+            n_ranks = int(rank_s[-1]) + 1
+            if n_ranks <= (2 ** 63 - 1) // L2:
+                key = rank * L2 + self.ipos.astype(np.int64) * L + self.jpos
+                order = np.argsort(key)
+            else:
+                tied = np.zeros(n, dtype=bool)
+                tied[1:] = eq
+                tied[:-1] |= eq
+                sub = order[tied]
+                sub = sub[np.lexsort(
+                    (self.jpos[sub], self.ipos[sub], -self.mi[sub]))]
+                order[tied] = sub
         return EdgeSet(
             self.ipos[order], self.jpos[order], self.mi[order],
             self.mi_wog[order], self.colmax,
