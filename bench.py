@@ -244,8 +244,23 @@ def main():
             with open(wfile, "w") as f:
                 f.write("\n".join(f"{x:.9f}" for x in (
                     al.weights if al.weights is not None else np.ones(S))))
+            # two passes: the first pays one-time costs a production
+            # deployment does not (tournament/pairs XLA compile or
+            # persistent-cache deserialize); the reference binary has no
+            # compile stage, so the WARM pass is the comparable
+            # end-to-end number.  Both totals are recorded.
+            tm_cold: dict = {}
+            print("# e2e: running pipeline (cold, auto threshold)",
+                  flush=True)
+            t0 = time.perf_counter()
+            run_pipeline(PipelineOptions(
+                alignmentfile=fasta, mi_threshold=-1.0, seed=1,
+                sample_weights=wfile, tile=tile,
+                output_dir=os.path.join(td, "out_cold"),
+            ), timings=tm_cold)
+            cold_total = time.perf_counter() - t0
             tm: dict = {}
-            print("# e2e: running pipeline (auto threshold)", flush=True)
+            print("# e2e: running pipeline (warm)", flush=True)
             res = run_pipeline(PipelineOptions(
                 alignmentfile=fasta, mi_threshold=-1.0, seed=1,
                 sample_weights=wfile, tile=tile,
@@ -253,6 +268,10 @@ def main():
             ), timings=tm)
             e2e = {k: (round(v, 3) if isinstance(v, float) else v)
                    for k, v in tm.items() if not isinstance(v, dict)}
+            e2e["cold_total_s"] = round(cold_total, 3)
+            e2e["cold_threshold_s"] = round(
+                tm_cold.get("threshold_s", 0.0), 3)
+            e2e["cold_sweep_s"] = round(tm_cold.get("sweep_s", 0.0), 3)
             e2e["sweep_phases"] = {
                 k: (round(v, 3) if isinstance(v, float) else v)
                 for k, v in tm.get("sweep_phases", {}).items()}

@@ -142,6 +142,12 @@ class DeviceData(NamedTuple):
     presence_wog: jnp.ndarray  # (Lp, 5) presence with gap bit cleared
     gap: jnp.ndarray           # (Lp,) bool gap presence
     orig_pos: jnp.ndarray      # (Lp,) int32 original genome positions
+    # (S, Lp) uint8 codes (pad = 255) for the PAIRS paths (tournament /
+    # lazy wog / overflow re-extraction), whose fused crosstable reads
+    # codes directly instead of materialising (S, P, 5) one-hots.  In
+    # codes storage mode this is the same buffer as ``onehot``; dense/
+    # slab engines carry it as a 10x-smaller sibling (S*Lp bytes).
+    codes: jnp.ndarray
 
 
 @dataclasses.dataclass(frozen=True)
@@ -854,44 +860,43 @@ def row_full_core(data: DeviceData, st: SweepStatics, i0, jc0=None):
     return mi_buf, wog_buf, store_base, colmax_mask
 
 
-def _pairs_onehot(data: DeviceData, st: SweepStatics, pos):
-    """(S, P, 5) one-hot columns for explicit positions (pairs path)."""
-    if st.onehot_codes:
-        c = jnp.take(data.onehot, pos, axis=1)  # (S, P) u8
-        states = jnp.arange(N_STATES, dtype=jnp.uint8)
-        # materialise in storage dtype first so the downstream einsum
-        # sees the same convert(storage -> compute) producer as the
-        # dense path — XLA picks the identical dot algorithm and the
-        # tournament threshold stays bit-identical between modes
-        oh = (c[:, :, None] == states).astype(jnp.dtype(st.storage_dtype))
-        return oh.astype(st.cdtype)
-    if st.onehot_slab:
-        # dense storage in kernel slab layout: state t of column p lives
-        # at flat index (p // bw)*5*bw + t*bw + p % bw
-        bw = st.pallas_bi
-        pos = jnp.asarray(pos, jnp.int32)
-        flat = ((pos // bw) * (N_STATES * bw))[:, None] \
-            + jnp.arange(N_STATES, dtype=jnp.int32)[None, :] * bw \
-            + (pos % bw)[:, None]
-        oh = jnp.take(data.onehot, flat.reshape(-1), axis=1)
-        return oh.reshape(st.S, -1, N_STATES).astype(st.cdtype)
-    oh3 = data.onehot.reshape(st.S, st.Lp, N_STATES)
-    return jnp.take(oh3, pos, axis=1).astype(st.cdtype)
+def _pairs_xtab(data: DeviceData, st: SweepStatics, ipos, jpos):
+    """(P, 5, 5) weighted joint-count tables for explicit position
+    pairs, computed from the codes matrix.
+
+    The joint state ``q = ci*5 + cj`` of every (sample, pair) cell is
+    compared against the 25 joint states inside one fused
+    compare/select/reduce over samples — HBM traffic is the two
+    (S, P) u8 code gathers instead of two (S, P, 5) one-hot operands
+    plus a 5x5-output batched matmul the MXU cannot tile (measured
+    1.37 s -> see scripts/perf_tournament.py for the einsum-formulation
+    history at the 30k tournament).  The 25-state axis is laid out
+    MAJOR (25, P) so the pair axis stays on the 128-wide lanes.
+
+    Pad rows (codes 255) miss every comparison and contribute exactly
+    zero, like the all-zero one-hot rows they replace."""
+    bd = _buf_dtype(st)
+    ci = jnp.take(data.codes, ipos, axis=1).astype(jnp.int32)  # (S, P)
+    cj = jnp.take(data.codes, jpos, axis=1).astype(jnp.int32)
+    q = ci * N_STATES + cj
+    k = jnp.arange(N_STATES * N_STATES, dtype=jnp.int32)
+    w = data.weights.astype(bd)
+    C = jnp.sum(
+        jnp.where(q[:, None, :] == k[None, :, None],
+                  w[:, None, None], jnp.zeros((), bd)),
+        axis=0,
+    )  # (25, P)
+    if st.psum_axis:
+        # sample-sharded crosstable merge (see tile_mi_pair)
+        C = jax.lax.psum(C, st.psum_axis)
+    return jnp.moveaxis(C, 0, -1).reshape(-1, N_STATES, N_STATES)
 
 
 def pairs_mi_core(data: DeviceData, st: SweepStatics, ipos, jpos):
     """Batched per-pair MI (tournament path; reference
     ``MI_solver::single`` + ``single_edge_MI_solver``, mi.hpp:183-224,
     SpydrPick.hpp:209-255)."""
-    xi = _pairs_onehot(data, st, ipos)  # (S, P, 5)
-    xj = _pairs_onehot(data, st, jpos)
-    xi_w = xi * data.weights[:, None, None].astype(st.cdtype)
-    C = jnp.einsum("spa,spb->pab", xi_w, xj,
-                   preferred_element_type=_buf_dtype(st),
-                   precision=st.xtab_precision)
-    if st.psum_axis:
-        # sample-sharded crosstable merge (see tile_mi_pair)
-        C = jax.lax.psum(C, st.psum_axis)
+    C = _pairs_xtab(data, st, ipos, jpos)
     ip = data.presence[ipos]
     jp = data.presence[jpos]
     return mi_from_crosstabs(C, ip, jp, st.pseudocount)
@@ -904,15 +909,7 @@ def pairs_mi_dual_core(data: DeviceData, st: SweepStatics, ipos, jpos):
     cleared from the presence masks, defaulted to mi for pairs where
     neither column has gaps — the reference's store-then-lookup
     semantics (mi.hpp:433,466-490 + SpydrPick.hpp:106-107)."""
-    xi = _pairs_onehot(data, st, ipos)  # (S, P, 5)
-    xj = _pairs_onehot(data, st, jpos)
-    xi_w = xi * data.weights[:, None, None].astype(st.cdtype)
-    C = jnp.einsum("spa,spb->pab", xi_w, xj,
-                   preferred_element_type=_buf_dtype(st),
-                   precision=st.xtab_precision)
-    if st.psum_axis:
-        # sample-sharded crosstable merge (see tile_mi_pair)
-        C = jax.lax.psum(C, st.psum_axis)
+    C = _pairs_xtab(data, st, ipos, jpos)
     mi = mi_from_crosstabs(C, data.presence[ipos], data.presence[jpos],
                            st.pseudocount)
     wog = mi_from_crosstabs(C, data.presence_wog[ipos],
@@ -1115,6 +1112,7 @@ def build_device_data(alignment: Alignment, config: EngineConfig) -> tuple[Devic
         oh_mode = "codes"
     if oh_mode == "codes":
         onehot = jnp.asarray(codes)  # 10x smaller; tiles expand on use
+        codes_dev = onehot           # pairs paths share the buffer
     else:
         codes_dev = jnp.asarray(codes)
         states = jnp.arange(N_STATES, dtype=jnp.uint8)
@@ -1143,6 +1141,7 @@ def build_device_data(alignment: Alignment, config: EngineConfig) -> tuple[Devic
         ),
         gap=jnp.asarray(gap),
         orig_pos=jnp.asarray(orig),
+        codes=codes_dev,
     )
     statics = SweepStatics(
         L=L, Lp=Lp, S=S, tile=tile, n_chunks=Lp // tile,

@@ -93,7 +93,7 @@ def make_sharded_row_step(mesh: Mesh, st: SweepStatics):
     """Jitted SPMD step: each device sweeps one block-row and returns
     its K-sized edge buffers (simple one-shot API; the production sweep
     uses :func:`make_sharded_group_step`'s device-resident stores)."""
-    data_specs = jax.tree.map(lambda _: P(), DeviceData(*[0] * 6))
+    data_specs = jax.tree.map(lambda _: P(), DeviceData(*[0] * 7))
 
     @jax.jit
     @_smap(
@@ -157,9 +157,10 @@ def make_sharded_group_step(mesh: Mesh, st: SweepStatics,
         data_specs = DeviceData(
             onehot=P("samples", None), weights=P("samples"),
             presence=P(), presence_wog=P(), gap=P(), orig_pos=P(),
+            codes=P("samples", None),
         )
     else:
-        data_specs = jax.tree.map(lambda _: P(), DeviceData(*[0] * 6))
+        data_specs = jax.tree.map(lambda _: P(), DeviceData(*[0] * 7))
     sh = P("rows")
 
     if windowed:
@@ -277,17 +278,25 @@ def shard_sample_data(engine: MIEngine, mesh: Mesh):
             weights=jnp.concatenate(
                 [data.weights,
                  jnp.zeros(pad, data.weights.dtype)], axis=0),
+            codes=jnp.concatenate(
+                [data.codes,
+                 jnp.full((pad, data.codes.shape[1]), 255, jnp.uint8)],
+                axis=0) if not st.onehot_codes else data.codes,
         )
         st = _dc.replace(st, S=S_pad)
     shd = lambda x, spec: jax.device_put(
         np.asarray(x), jax.sharding.NamedSharding(mesh, spec))
+    onehot_sh = shd(data.onehot, P("samples", None))
     data = DeviceData(
-        onehot=shd(data.onehot, P("samples", None)),
+        onehot=onehot_sh,
         weights=shd(data.weights, P("samples")),
         presence=shd(data.presence, P()),
         presence_wog=shd(data.presence_wog, P()),
         gap=shd(data.gap, P()),
         orig_pos=shd(data.orig_pos, P()),
+        # codes mode: the codes matrix IS the (padded, sharded) onehot
+        codes=(onehot_sh if st.onehot_codes
+               else shd(data.codes, P("samples", None))),
     )
     return data, st
 
@@ -331,6 +340,7 @@ class ShardedEngineView:
         data_specs = DeviceData(
             onehot=P("samples", None), weights=P("samples"),
             presence=P(), presence_wog=P(), gap=P(), orig_pos=P(),
+            codes=P("samples", None),
         )
 
         def _wrap(core):
