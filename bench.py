@@ -205,8 +205,8 @@ def main():
     # not one lucky/unlucky window), capped at BENCH_SWEEPS_MAX.  The
     # min and the full series are recorded in the result blob;
     # production PCIe/ICI attachments do not have this variance.
-    n_min = int(os.environ.get("BENCH_SWEEPS", 5))
-    n_max = int(os.environ.get("BENCH_SWEEPS_MAX", 12))
+    n_min = int(os.environ.get("BENCH_SWEEPS", 7))
+    n_max = int(os.environ.get("BENCH_SWEEPS_MAX", 14))
     runs = []
     phases: dict = {}
     while True:

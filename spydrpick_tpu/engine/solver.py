@@ -32,6 +32,7 @@ spydrpick_tpu/parallel/mesh.py).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 import time
 from functools import partial
@@ -1170,6 +1171,80 @@ def build_device_data(alignment: Alignment, config: EngineConfig) -> tuple[Devic
     return data, statics
 
 
+# ---------------------------------------------------------------------- #
+# module-level jitted-program factories, memoised on the statics.
+#
+# The pipeline builds a NEW engine per run; per-engine jax.jit wrappers
+# would retrace every program and pay a persistent-cache deserialize
+# per dispatch even when an identical-statics engine already ran in
+# this process (measured: ~1.5 s on the warm pipeline's threshold
+# stage, ~2 s on its sweep at the 30k bench).  SweepStatics is a
+# frozen, hashable dataclass of scalars, so the traced+compiled
+# executables are safely shared; device tensors only ever travel as
+# call arguments.
+# ---------------------------------------------------------------------- #
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_row_sweep(st):
+    return jax.jit(partial(row_sweep_core, st=st))
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_row_full(st):
+    return jax.jit(partial(row_full_core, st=st))
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_pairs_mi(st):
+    return jax.jit(partial(pairs_mi_core, st=st))
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_pairs_dual(st):
+    return jax.jit(partial(pairs_mi_dual_core, st=st))
+
+
+@functools.lru_cache(maxsize=128)
+def _jit_quant(st, iters, nc, chunk, dt):
+    del iters, nc, chunk, dt  # cache key only; shapes live in the args
+    return jax.jit(lambda data, ip3, jp3, n_valid, kk:
+                   pairs_quantile_core(data, st, ip3, jp3, n_valid, kk))
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_fetch(st, ch, include_wog):
+    return jax.jit(partial(fetch_chunk_core, st=st, ch=ch,
+                           include_wog=include_wog))
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_fetch_colmax(st):
+    return jax.jit(lambda c: c[: st.L])
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_group(st, width):
+    def _group(data, row_starts, threshold, colmax, mi_s, wog_s,
+               ip_s, jp_s, offset, total):
+        return rows_group_core(data, st, row_starts, threshold,
+                               colmax, mi_s, wog_s, ip_s, jp_s,
+                               offset, total, width=width)
+
+    return jax.jit(_group, donate_argnums=(3, 4, 5, 6, 7, 8, 9))
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_group_win(st):
+    def _group(data, row_starts, chunk_starts, threshold, colmax,
+               mi_s, wog_s, ip_s, jp_s, offset, total):
+        return rows_group_core(data, st, row_starts, threshold,
+                               colmax, mi_s, wog_s, ip_s, jp_s,
+                               offset, total, chunk_starts=chunk_starts)
+
+    return jax.jit(_group, donate_argnums=(4, 5, 6, 7, 8, 9, 10))
+
+
 class MIEngine:
     """Holds device-resident alignment tensors and jitted sweep programs."""
 
@@ -1191,21 +1266,13 @@ class MIEngine:
         self.tile = self.statics.tile
 
         st = self.statics
-        self._row_sweep = jax.jit(partial(row_sweep_core, st=st))
-        self._row_full = jax.jit(partial(row_full_core, st=st))
-        self._pairs_mi = jax.jit(partial(pairs_mi_core, st=st))
-        self._pairs_dual = jax.jit(partial(pairs_mi_dual_core, st=st))
-        self._pairs_quant: dict = {}  # (iters, n_chunks, ...) -> jitted fn
+        self._row_sweep = _jit_row_sweep(st)
+        self._row_full = _jit_row_full(st)
+        self._pairs_mi = _jit_pairs_mi(st)
+        self._pairs_dual = _jit_pairs_dual(st)
         # device-accumulating group sweep; stores donated so the carry
         # stays in place across dispatches
-        def _group(data, row_starts, threshold, colmax, mi_s, wog_s, ip_s, jp_s,
-                   offset, total):
-            return rows_group_core(data, st, row_starts, threshold, colmax,
-                                   mi_s, wog_s, ip_s, jp_s, offset, total)
-
-        self._rows_group = jax.jit(_group, donate_argnums=(3, 4, 5, 6, 7, 8, 9))
-        # per-width route programs (see EngineConfig.width_buckets)
-        self._rows_group_w: dict = {None: self._rows_group}
+        self._rows_group = _jit_group(st, None)
         # drain chunk size: largest divisor of the store line count
         # <= _FETCH_CHUNK_LINES, so chunks tile the store exactly.
         # The store must hold at least one full dispatch group (G per-row
@@ -1221,13 +1288,9 @@ class MIEngine:
         )
         cap_lines = self._cap_slots // st.store_lanes
         self._chunk_lines = math.gcd(cap_lines, _FETCH_CHUNK_LINES)
-        self._fetch_chunk = jax.jit(
-            partial(fetch_chunk_core, st=st, ch=self._chunk_lines,
-                    include_wog=False))
-        self._fetch_chunk_wog = jax.jit(
-            partial(fetch_chunk_core, st=st, ch=self._chunk_lines,
-                    include_wog=True))
-        self._fetch_colmax = jax.jit(lambda c: c[: st.L])
+        self._fetch_chunk = _jit_fetch(st, self._chunk_lines, False)
+        self._fetch_chunk_wog = _jit_fetch(st, self._chunk_lines, True)
+        self._fetch_colmax = _jit_fetch_colmax(st)
 
     # ------------------------------------------------------------------ #
     def _route_widths(self) -> list[int | None]:
@@ -1256,37 +1319,12 @@ class MIEngine:
         return None
 
     def _group_fn(self, width: int | None):
-        if width not in self._rows_group_w:
-            st = self.statics
-
-            def _group(data, row_starts, threshold, colmax, mi_s, wog_s,
-                       ip_s, jp_s, offset, total):
-                return rows_group_core(data, st, row_starts, threshold,
-                                       colmax, mi_s, wog_s, ip_s, jp_s,
-                                       offset, total, width=width)
-
-            self._rows_group_w[width] = jax.jit(
-                _group, donate_argnums=(3, 4, 5, 6, 7, 8, 9)
-            )
-        return self._rows_group_w[width]
+        return _jit_group(self.statics, width)
 
     def _group_fn_win(self):
         """Windowed twin of :meth:`_group_fn`: one compiled program for
         every (block-row, j-window) item group (both starts traced)."""
-        if "win" not in self._rows_group_w:
-            st = self.statics
-
-            def _group(data, row_starts, chunk_starts, threshold, colmax,
-                       mi_s, wog_s, ip_s, jp_s, offset, total):
-                return rows_group_core(data, st, row_starts, threshold,
-                                       colmax, mi_s, wog_s, ip_s, jp_s,
-                                       offset, total,
-                                       chunk_starts=chunk_starts)
-
-            self._rows_group_w["win"] = jax.jit(
-                _group, donate_argnums=(4, 5, 6, 7, 8, 9, 10)
-            )
-        return self._rows_group_w["win"]
+        return _jit_group_win(self.statics)
 
     # ------------------------------------------------------------------ #
     def _pairs_chunked(self, fn, pick, ipos, jpos, chunk):
@@ -1337,13 +1375,7 @@ class MIEngine:
         for it in range(iters):
             ip3[it, :n_valid] = ipos[it * n_valid: (it + 1) * n_valid]
             jp3[it, :n_valid] = jpos[it * n_valid: (it + 1) * n_valid]
-        key = ("quant", iters, nc, chunk, str(dt))
-        fn = self._pairs_quant.get(key)
-        if fn is None:
-            st = self.statics
-            fn = jax.jit(lambda data, ip3, jp3, n_valid, kk:
-                         pairs_quantile_core(data, st, ip3, jp3, n_valid, kk))
-            self._pairs_quant[key] = fn
+        fn = _jit_quant(self.statics, iters, nc, chunk, str(dt))
         out = fn(self.data,
                  jnp.asarray(ip3.reshape(iters, nc, chunk)),
                  jnp.asarray(jp3.reshape(iters, nc, chunk)),
