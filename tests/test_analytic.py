@@ -432,3 +432,41 @@ def test_aracne_tie_straddling_reference_block_boundary(use_native):
         assert keyed[(a, a + 2)] == 0
         assert keyed[(a + 1, a + 2)] == 0
     assert all(keyed[(a, b)] == 1 for a, b in zip(fi, fj))  # fillers direct
+
+
+def test_empty_colmax_quartiles_use_boost_lowest_not_inf():
+    """Positions that never see a pair past the LD threshold keep an
+    EMPTY max accumulator; the reference's boost ``acc::max`` yields
+    ``lowest()`` (-1.8e308), NOT -inf (mi.hpp:244-290).  The distinction
+    is live when > 3/4 of positions are empty: Q3 = Q1 = lowest() gives
+    IQR = 0 and outlier threshold = lowest() — the reference flags
+    EVERY stored edge as an outlier.  -inf quartiles would give
+    IQR = NaN and flag none."""
+    from spydrpick_tpu.engine.outliers import outlier_thresholds, quartile
+
+    low = np.finfo(np.float64).min
+
+    # > 3/4 empty: both quartiles collapse to lowest(), IQR = 0
+    colmax = np.full(8, -np.inf)
+    colmax[0] = 0.5
+    assert quartile(colmax, 1) == low
+    assert quartile(colmax, 3) == low
+    out, ext = outlier_thresholds(colmax)
+    assert out == low and ext == low          # NOT NaN
+    assert 0.123 > out                        # every edge flags outlier
+
+    # only Q1 empty (3 of 8 positions; Q1 = vals[8//4] = vals[2]):
+    # fence overflows to +inf in f64 — no outliers, the same behaviour
+    # the reference's finite lowest() produces
+    colmax = np.array([-np.inf, -np.inf, -np.inf, 0.2, 0.3, 0.4, 0.5, 0.6])
+    assert quartile(colmax, 1) == low
+    assert quartile(colmax, 3) == 0.5
+    out, ext = outlier_thresholds(colmax)
+    assert math.isinf(out) and out > 0
+    assert math.isinf(ext) and ext > 0
+
+    # no empties: plain indexing quartiles, untouched by the mapping
+    colmax = np.arange(8, dtype=np.float64)
+    assert quartile(colmax, 1) == 2.0 and quartile(colmax, 3) == 6.0
+    out, ext = outlier_thresholds(colmax)
+    assert out == 6.0 + 1.5 * 4.0 and ext == 6.0 + 3.0 * 4.0
