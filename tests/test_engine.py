@@ -448,3 +448,24 @@ def test_packed_incremental_assembly_matches(monkeypatch):
     np.testing.assert_array_equal(e1.jpos, e2.jpos)
     np.testing.assert_array_equal(e1.mi, e2.mi)
     np.testing.assert_array_equal(e1.mi_wog, e2.mi_wog)
+
+
+def test_identical_statics_share_jitted_programs():
+    """The pipeline builds a fresh MIEngine per run; engines with
+    identical SweepStatics must share the module-level traced/compiled
+    programs (solver._jit_* lru factories) instead of retracing — the
+    warm-pipeline latency fix (see ARCHITECTURE.md round-5b)."""
+    al = random_alignment(n_samples=30, n_loci=64, seed=11, gap_frac=0.1)
+    a = MIEngine(al, EngineConfig(tile=16))
+    b = MIEngine(al, EngineConfig(tile=16))
+    assert a.statics == b.statics
+    assert a._pairs_mi is b._pairs_mi
+    assert a._rows_group is b._rows_group
+    assert a._fetch_chunk is b._fetch_chunk
+    # different statics must NOT collide
+    c = MIEngine(al, EngineConfig(tile=16, pseudocount=0.7))
+    assert c._pairs_mi is not a._pairs_mi
+    # and both still sweep to identical results
+    e1, e2 = a.sweep(-1.0).sort_desc(), b.sweep(-1.0).sort_desc()
+    np.testing.assert_array_equal(e1.mi, e2.mi)
+    np.testing.assert_array_equal(e1.ipos, e2.ipos)
