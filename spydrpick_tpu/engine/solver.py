@@ -293,9 +293,7 @@ class EdgeSet:
         order = np.argsort(self.mi)[::-1]
         mi_s = self.mi[order]
         eq = mi_s[1:] == mi_s[:-1]
-        if not eq.any():
-            pass  # already correct: strictly descending, no ties
-        else:
+        if eq.any():  # no ties -> the descending argsort is already final
             L = int(self.jpos.max()) + 1  # jpos > ipos always
             L2 = L * L
             rank = np.empty(n, dtype=np.int64)
@@ -951,6 +949,24 @@ def pairs_quantile_core(data: DeviceData, st: SweepStatics, ip3, jp3,
     return jax.lax.map(one_iter, (ip3, jp3))
 
 
+def pack_tournament_indices(ipos, jpos, iters: int, n_valid: int,
+                            chunk: int, Lp: int):
+    """(iters, nc, chunk) zero-padded index tensors for
+    ``pairs_quantile_core`` — the packing convention shared by
+    ``MIEngine.pair_quantiles`` and ``ShardedEngineView.pair_quantiles``
+    (uint16 when positions fit, pad rows masked by ``n_valid``)."""
+    Pp = _ceil_to(n_valid, chunk)
+    nc = Pp // chunk
+    dt = np.uint16 if Lp <= (1 << 16) else np.int32
+    ip3 = np.zeros((iters, Pp), dtype=dt)
+    jp3 = np.zeros((iters, Pp), dtype=dt)
+    for it in range(iters):
+        ip3[it, :n_valid] = ipos[it * n_valid: (it + 1) * n_valid]
+        jp3[it, :n_valid] = jpos[it * n_valid: (it + 1) * n_valid]
+    return (ip3.reshape(iters, nc, chunk), jp3.reshape(iters, nc, chunk),
+            nc, str(dt))
+
+
 _FETCH_CHUNK_LINES = 2048  # store lines per drain transfer (1 MB of f32 mi)
 _ASM_BATCH_CHUNKS = 8      # full chunks per incremental assembly submit
 
@@ -1367,18 +1383,10 @@ class MIEngine:
         consecutive samples of ``n_valid`` pairs each; returns (iters,)
         f64 of each sample's ascending order statistic ``k`` —
         bit-identical values to partitioning pair_mi's output."""
-        Pp = _ceil_to(n_valid, chunk)
-        nc = Pp // chunk
-        dt = np.uint16 if self.Lp <= (1 << 16) else np.int32
-        ip3 = np.zeros((iters, Pp), dtype=dt)
-        jp3 = np.zeros((iters, Pp), dtype=dt)
-        for it in range(iters):
-            ip3[it, :n_valid] = ipos[it * n_valid: (it + 1) * n_valid]
-            jp3[it, :n_valid] = jpos[it * n_valid: (it + 1) * n_valid]
-        fn = _jit_quant(self.statics, iters, nc, chunk, str(dt))
-        out = fn(self.data,
-                 jnp.asarray(ip3.reshape(iters, nc, chunk)),
-                 jnp.asarray(jp3.reshape(iters, nc, chunk)),
+        ip3, jp3, nc, dt = pack_tournament_indices(
+            ipos, jpos, iters, n_valid, chunk, self.Lp)
+        fn = _jit_quant(self.statics, iters, nc, chunk, dt)
+        out = fn(self.data, jnp.asarray(ip3), jnp.asarray(jp3),
                  jnp.asarray(n_valid, jnp.int32),
                  jnp.asarray(k, jnp.int32))
         return np.asarray(out, dtype=np.float64)

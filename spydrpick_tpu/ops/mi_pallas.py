@@ -109,10 +109,9 @@ def _mi_from_block(C, ipf, jpf, pc, bi=BI, bj=BJ):
     RJ = R * jrow
     Gi_ = _sum_jstates(RJ * lnR, bj)
     Si_ = _sum_jstates(RJ, bj)
-    ipb = ipf[:, None]                     # (bi*5, 1) for B-space ops
-    Z = _sum_istates(B * ipb, bi)          # (bi, bj)
+    Z = _sum_istates(B * ipc, bi)          # (bi, bj)
     lnB = _ln_pos(B)
-    Gj_ = _sum_istates(B * lnB * ipb, bi)  # i-marginal entropy numerator
+    Gj_ = _sum_istates(B * lnB * ipc, bi)  # i-marginal entropy numerator
 
     invZ = 1.0 / jnp.maximum(Z, jnp.finfo(f32).tiny)
     lnZ = _ln_pos(Z)

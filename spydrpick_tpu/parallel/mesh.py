@@ -355,6 +355,7 @@ class ShardedEngineView:
         self._pairs_mi = _wrap(pairs_mi_core)
         self._pairs_dual = _wrap(pairs_mi_dual_core)
         self._row_full_fns: dict[bool, object] = {}
+        self._quant_fns: dict[tuple, object] = {}
         self._row_full_core = row_full_core
         self._data_specs = data_specs
 
@@ -387,22 +388,13 @@ class ShardedEngineView:
         same contract as MIEngine.pair_quantiles: (iters,) order
         statistics, the only down-traffic."""
         from spydrpick_tpu.engine.solver import (
-            _ceil_to,
+            pack_tournament_indices,
             pairs_quantile_core,
         )
 
-        Pp = _ceil_to(n_valid, chunk)
-        nc = Pp // chunk
-        dt = np.uint16 if self.st.Lp <= (1 << 16) else np.int32
-        ip3 = np.zeros((iters, Pp), dtype=dt)
-        jp3 = np.zeros((iters, Pp), dtype=dt)
-        for it in range(iters):
-            ip3[it, :n_valid] = ipos[it * n_valid: (it + 1) * n_valid]
-            jp3[it, :n_valid] = jpos[it * n_valid: (it + 1) * n_valid]
-        key = ("quant", iters, nc, chunk, str(dt))
-        fn = getattr(self, "_quant_fns", None)
-        if fn is None:
-            self._quant_fns = {}
+        ip3, jp3, nc, dt = pack_tournament_indices(
+            ipos, jpos, iters, n_valid, chunk, self.st.Lp)
+        key = ("quant", iters, nc, chunk, dt)
         f = self._quant_fns.get(key)
         if f is None:
             st_loc = self._st_loc
@@ -417,9 +409,7 @@ class ShardedEngineView:
                                            n_valid, kk)
 
             self._quant_fns[key] = f
-        out = f(self.data,
-                jnp.asarray(ip3.reshape(iters, nc, chunk)),
-                jnp.asarray(jp3.reshape(iters, nc, chunk)),
+        out = f(self.data, jnp.asarray(ip3), jnp.asarray(jp3),
                 jnp.asarray(n_valid, jnp.int32),
                 jnp.asarray(k, jnp.int32))
         return np.asarray(out, dtype=np.float64)
