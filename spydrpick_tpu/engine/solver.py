@@ -964,7 +964,7 @@ def pack_tournament_indices(ipos, jpos, iters: int, n_valid: int,
         ip3[it, :n_valid] = ipos[it * n_valid: (it + 1) * n_valid]
         jp3[it, :n_valid] = jpos[it * n_valid: (it + 1) * n_valid]
     return (ip3.reshape(iters, nc, chunk), jp3.reshape(iters, nc, chunk),
-            nc, str(dt))
+            nc, np.dtype(dt).name)
 
 
 _FETCH_CHUNK_LINES = 2048  # store lines per drain transfer (1 MB of f32 mi)

@@ -69,3 +69,29 @@ def test_threshold_deterministic():
     t1 = determine_mi_threshold(engine, 50, threshold_pairs=100, iterations=3, seed=5)
     t2 = determine_mi_threshold(engine, 50, threshold_pairs=100, iterations=3, seed=5)
     assert t1 == t2
+
+
+def test_pack_tournament_indices_convention():
+    """Shared packing helper (single-device + sharded tournaments):
+    uint16 iff positions fit 16 bits, zero padding past n_valid, chunk
+    tiling exact."""
+    import numpy as np
+
+    from spydrpick_tpu.engine.solver import pack_tournament_indices
+
+    iters, n_valid, chunk = 3, 10, 8
+    ipos = np.arange(iters * n_valid) % 7
+    jpos = (np.arange(iters * n_valid) % 7) + 1
+    ip3, jp3, nc, dt = pack_tournament_indices(
+        ipos, jpos, iters, n_valid, chunk, Lp=1 << 16)
+    assert dt == "uint16" and ip3.dtype == np.uint16
+    assert ip3.shape == (iters, nc, chunk) and nc == 2  # ceil(10/8)
+    flat = ip3.reshape(iters, -1)
+    for it in range(iters):
+        np.testing.assert_array_equal(
+            flat[it, :n_valid], ipos[it * n_valid:(it + 1) * n_valid])
+        assert (flat[it, n_valid:] == 0).all()  # pad slots zeroed
+    # positions past 16 bits switch to int32
+    *_, dt32 = pack_tournament_indices(
+        ipos, jpos, iters, n_valid, chunk, Lp=(1 << 16) + 1)
+    assert dt32 == "int32"
