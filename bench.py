@@ -206,7 +206,7 @@ def main():
     # min and the full series are recorded in the result blob;
     # production PCIe/ICI attachments do not have this variance.
     n_min = int(os.environ.get("BENCH_SWEEPS", 7))
-    n_max = int(os.environ.get("BENCH_SWEEPS_MAX", 14))
+    n_max = int(os.environ.get("BENCH_SWEEPS_MAX", 20))
     runs = []
     phases: dict = {}
     while True:
