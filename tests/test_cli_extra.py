@@ -139,3 +139,29 @@ def test_cli_jax_cache_flag(tmp_path):
                "--output-dir", str(tmp_path), "--jax-cache-dir", str(cache)])
     assert rc == 0
     assert jax.config.jax_compilation_cache_dir == str(cache)
+
+
+def test_cli_sharded_matches_single_device(tmp_path):
+    """Full CLI run with --sharded on the virtual 8-device mesh produces
+    byte-identical couplings/outliers files to the single-device CLI —
+    the user-facing contract of the distributed backend (the engine-level
+    twin lives in tests/test_sharding.py)."""
+    import filecmp
+
+    from spydrpick_tpu.cli import main
+
+    al = random_alignment(n_samples=48, n_loci=96, seed=29, gap_frac=0.08)
+    fasta = tmp_path / "sh.fasta"
+    write_fasta(str(fasta), al)
+    d1, d2 = tmp_path / "single", tmp_path / "sharded"
+    for d, extra in ((d1, []), (d2, ["--sharded"])):
+        rc = main([str(fasta), "--ld-threshold", "10", "--seed", "5",
+                   "--mi-threshold", "0.05",
+                   "--output-dir", str(d), "--jax-cache-dir", "none"]
+                  + extra)
+        assert rc == 0
+    files1 = sorted(p.name for p in d1.iterdir())
+    files2 = sorted(p.name for p in d2.iterdir())
+    assert files1 == files2 and any("couplings" in f for f in files1)
+    for name in files1:
+        assert filecmp.cmp(d1 / name, d2 / name, shallow=False), name
