@@ -153,15 +153,21 @@ def test_cli_sharded_matches_single_device(tmp_path):
     al = random_alignment(n_samples=48, n_loci=96, seed=29, gap_frac=0.08)
     fasta = tmp_path / "sh.fasta"
     write_fasta(str(fasta), al)
-    d1, d2 = tmp_path / "single", tmp_path / "sharded"
-    for d, extra in ((d1, []), (d2, ["--sharded"])):
+    d1 = tmp_path / "single"
+    variants = {
+        tmp_path / "rows": ["--sharded"],                  # 1-D row mesh
+        tmp_path / "2d": ["--sharded", "--sample-shards", "2"],  # 2-D mesh
+    }
+    for d, extra in [(d1, [])] + list(variants.items()):
         rc = main([str(fasta), "--ld-threshold", "10", "--seed", "5",
                    "--mi-threshold", "0.05",
                    "--output-dir", str(d), "--jax-cache-dir", "none"]
                   + extra)
         assert rc == 0
     files1 = sorted(p.name for p in d1.iterdir())
-    files2 = sorted(p.name for p in d2.iterdir())
-    assert files1 == files2 and any("couplings" in f for f in files1)
-    for name in files1:
-        assert filecmp.cmp(d1 / name, d2 / name, shallow=False), name
+    assert any("couplings" in f for f in files1)
+    for d2 in variants:
+        assert sorted(p.name for p in d2.iterdir()) == files1
+        for name in files1:
+            assert filecmp.cmp(d1 / name, d2 / name, shallow=False), (
+                d2.name, name)
