@@ -51,6 +51,12 @@ def parse(path: str) -> tuple[np.ndarray, list[str]]:
     w = ctypes.c_int64()
     rc = lib.spydrpick_fasta_index(str(path).encode(), ctypes.byref(n), ctypes.byref(w))
     if rc == -1:
+        # the native open_map rejects missing AND zero-length files with
+        # the same code; report the empty case like the numpy parser does
+        import os
+
+        if os.path.exists(path) and os.path.getsize(path) == 0:
+            raise ValueError(f"{path}: empty FASTA file")
         raise FileNotFoundError(path)
     if rc == -2:
         raise ValueError(f"{path}: malformed FASTA")

@@ -126,3 +126,19 @@ def test_sort_desc_tie_semantics():
     np.testing.assert_array_equal(got.ipos, i[order])
     np.testing.assert_array_equal(got.jpos, j[order])
     np.testing.assert_array_equal(got.mi_wog, (mi * 0.5)[order])
+
+
+def test_empty_fasta_file_reports_empty_not_missing(tmp_path):
+    """A zero-length file must raise 'empty FASTA file', not
+    FileNotFoundError (the native open_map rejects missing and empty
+    files with the same code)."""
+    import pytest
+
+    from spydrpick_tpu.io.fasta import read_fasta
+
+    p = tmp_path / "empty.fasta"
+    p.write_bytes(b"")
+    with pytest.raises(ValueError, match="empty FASTA file"):
+        read_fasta(p)
+    with pytest.raises(FileNotFoundError):
+        read_fasta(tmp_path / "missing.fasta")
